@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: Dslash GFLOP/s/chip (BASELINE.json:2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured GFLOP/s divided by the north-star target of 50% of
+TPU speed-of-light (BASELINE.md Tier 1/2: 0.42 TFLOP/s fp32 recon-12 on
+v5e), so vs_baseline >= 1.0 means the target is met.
+
+Uses the production device-layout Dslash (Pallas kernel if available,
+else the XLA rolls/einsum path) on the 32^3 x 64 contract volume.
+"""
+import json
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from tpuqcd import su3  # noqa: E402
+from tpuqcd.fields import apply_boundary_phase_dev, random_spinor_dev  # noqa: E402
+from tpuqcd.lattice import Lattice  # noqa: E402
+
+# Wilson Dslash flop count per site (QUDA-standard accounting, BASELINE.md
+# Tier 2): 8 dirs x 2 SU(3) half-spinor matvecs (66 flops each x 2
+# half-spinors) + spin project/reconstruct.
+FLOPS_PER_SITE = 1320
+
+# 50% of v5e speed-of-light for fp32 reconstruct-12 naive traffic.
+BASELINE_GFLOPS = 420.0
+
+
+def best_dslash(lat):
+    try:
+        from tpuqcd.ops.dslash_pallas import dslash_eo_pallas
+
+        def ds(u_dev, p):
+            return dslash_eo_pallas(u_dev, p, 0, lat)
+        # smoke-compile before claiming it
+        return "pallas", ds
+    except Exception:
+        from tpuqcd.ops.dslash_xla import dslash_eo_dev
+
+        def ds(u_dev, p):
+            return dslash_eo_dev(u_dev, p, 0, lat)
+        return "xla", ds
+
+
+def main():
+    lat = Lattice((32, 32, 32, 64))
+    key = jax.random.PRNGKey(0)
+
+    ku, kp = jax.random.split(key)
+    u = apply_boundary_phase_dev(su3.random_gauge_dev(ku, lat), lat)
+    psi = random_spinor_dev(kp, lat, parities=1)
+
+    impl, dslash = best_dslash(lat)
+    niter = 50
+
+    @jax.jit
+    def chain(u_dev, p):
+        def body(i, x):
+            return dslash(u_dev, x)
+        x = jax.lax.fori_loop(0, niter, body, p)
+        # scalar probe forces a host round-trip per rep — block_until_ready
+        # alone does not reliably block through the axon remote runtime.
+        return jnp.real(x[0, 0, 0, 0, 0])
+
+    float(chain(u, psi))  # warmup/compile
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(u, psi))
+        best = min(best, time.perf_counter() - t0)
+
+    gflops = FLOPS_PER_SITE * lat.half_volume * niter / best / 1e9
+    print(json.dumps({
+        "metric": f"dslash_eo_gflops_per_chip[{impl}]",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / BASELINE_GFLOPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+"""tpuqcd — a TPU-native lattice QCD framework.
+
+From-scratch re-design of the capabilities of the
+ETMC-QUDA/quda-QKXTM-Multigrid-PlugIn stack (QUDA twisted-mass multigrid
+solvers + the QKXTM physics layer) for TPU: JAX/XLA/pjit for
+orchestration and sharding, Pallas for the hot stencil/contraction
+kernels, ICI collectives for the lattice halo exchange.  See SURVEY.md at
+the repo root for the component-by-component mapping to the reference.
+
+x64 note: we enable jax_enable_x64 at import.  TPUs have no fast fp64 —
+all *field* arithmetic is explicitly f32/bf16 — but solver scalar
+bookkeeping and rare true-residual recomputations use (emulated) f64,
+replacing the reference's fp64 reduction accumulators (SURVEY.md §8.3
+hard part #1).
+"""
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .lattice import Lattice  # noqa: E402,F401
+from . import gammas, su3, fields, operators  # noqa: E402,F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,218 @@
+"""Dirac operators: Wilson / twisted-mass / twisted-clover, full and even-odd.
+
+TPU-native replacement of the reference's `Dirac` class hierarchy
+(`lib/dirac.cpp`, `dirac_twisted_mass.cpp`, `dirac_twisted_clover.cpp`,
+`include/dirac_quda.h` [U]; SURVEY.md C10).  Operators are lightweight
+frozen dataclasses closing over (gauge, clover, kappa, mu); `apply` is a
+pure function suitable for jit/vmap.  Sign conventions in
+ops/dslash_ref.py docstring.
+
+Even-odd preconditioning (SURVEY.md Appendix A #4): asymmetric Schur
+complement on the EVEN parity (QUDA_MATPC_EVEN_EVEN-style):
+
+    M = [[A_ee, -k D_eo], [-k D_oe, A_oo]]
+    Mhat x_e = A_ee x_e - k^2 D_eo A_oo^{-1} D_oe x_e
+    prepare:     bhat_e = b_e + k D_eo A_oo^{-1} b_o
+    reconstruct: x_o    = A_oo^{-1} (b_o + k D_oe x_e)
+
+where A = 1 + 2 i kappa mu g5 (+ clover).  D_eo means "D restricted to
+odd sources, even results".
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gammas import GAMMA5
+from .lattice import Lattice
+from .fields import EVEN, ODD
+from .ops.dslash_ref import dslash_full, dslash_eo
+
+#: g5 is diagonal in the DeGrand-Rossi basis; keep just the diagonal.
+_G5_DIAG = np.real(np.diag(GAMMA5)).astype(np.float32)  # (+-1 per spin)
+
+
+def twist_apply(psi: jax.Array, kappa: float, mu: float,
+                flavor: int = +1) -> jax.Array:
+    """A psi = (1 + 2 i kappa mu g5) psi, flavor = +-1 flips the mu sign.
+
+    g5 diagonal => site-local diagonal per spin (reference fuses this into
+    the dslash kernels, `dslash_twisted_mass.cu` [U]).
+    """
+    t = 2.0 * kappa * mu * flavor
+    fac = (1.0 + 1j * t * _G5_DIAG).astype(psi.dtype)  # [4]
+    return psi * fac[:, None]
+
+
+def twist_inv_apply(psi: jax.Array, kappa: float, mu: float,
+                    flavor: int = +1) -> jax.Array:
+    """A^{-1} psi = (1 - 2 i kappa mu g5) psi / (1 + (2 kappa mu)^2)."""
+    t = 2.0 * kappa * mu * flavor
+    fac = ((1.0 - 1j * t * _G5_DIAG) / (1.0 + t * t)).astype(psi.dtype)
+    return psi * fac[:, None]
+
+
+def gamma5_apply(psi: jax.Array) -> jax.Array:
+    return psi * jnp.asarray(_G5_DIAG, dtype=psi.dtype)[:, None]
+
+
+# --- device-layout (spin-leading) variants: psi [..., 4, 3, T, Z, S] -------
+
+def _spin_fac_dev(fac: np.ndarray, psi: jax.Array) -> jax.Array:
+    return psi * jnp.asarray(fac, dtype=psi.dtype).reshape(4, 1, 1, 1, 1)
+
+
+def twist_apply_dev(psi: jax.Array, kappa: float, mu: float,
+                    flavor: int = +1) -> jax.Array:
+    t = 2.0 * kappa * mu * flavor
+    return _spin_fac_dev(1.0 + 1j * t * _G5_DIAG, psi)
+
+
+def twist_inv_apply_dev(psi: jax.Array, kappa: float, mu: float,
+                        flavor: int = +1) -> jax.Array:
+    t = 2.0 * kappa * mu * flavor
+    return _spin_fac_dev((1.0 - 1j * t * _G5_DIAG) / (1.0 + t * t), psi)
+
+
+def gamma5_apply_dev(psi: jax.Array) -> jax.Array:
+    return _spin_fac_dev(_G5_DIAG, psi)
+
+
+@dataclasses.dataclass(frozen=True)
+class TMOperator:
+    """Full-lattice twisted-mass Wilson operator M = A - kappa D.
+
+    mu=0 gives plain Wilson.  Fields in *full* layout.  With a clover term,
+    pass ``clover`` ([T,Z,Y,X,4,3,4,3] site matrix A including the 1 and
+    twist — see ops/clover.py); then A psi is a site-local matvec.
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+
+    def apply(self, u: jax.Array, psi: jax.Array) -> jax.Array:
+        a = twist_apply(psi, self.kappa, self.mu, self.flavor)
+        return a - self.kappa * dslash_full(u, psi)
+
+    def apply_dagger(self, u: jax.Array, psi: jax.Array) -> jax.Array:
+        # g5-Hermiticity: M(mu)^dag = g5 M(-mu) g5
+        g = gamma5_apply(psi)
+        m = TMOperator(self.lat, self.kappa, self.mu, -self.flavor)
+        return gamma5_apply(m.apply(u, g))
+
+    def normal(self, u: jax.Array, psi: jax.Array) -> jax.Array:
+        """M^dag M psi."""
+        return self.apply_dagger(u, self.apply(u, psi))
+
+
+@dataclasses.dataclass(frozen=True)
+class TMOperatorPC:
+    """Even-odd preconditioned twisted-mass operator (asymmetric, even-even).
+
+    Fields in eo layout; `apply` acts on a single-parity (even) spinor
+    [..., T, Z, Y, X//2, 4, 3].  Gauge in eo layout [4,2,T,Z,Y,X//2,3,3].
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+
+    def _ainv(self, psi: jax.Array) -> jax.Array:
+        return twist_inv_apply(psi, self.kappa, self.mu, self.flavor)
+
+    def _a(self, psi: jax.Array) -> jax.Array:
+        return twist_apply(psi, self.kappa, self.mu, self.flavor)
+
+    def apply(self, u_eo: jax.Array, psi_e: jax.Array) -> jax.Array:
+        """Mhat psi_e = A psi_e - k^2 D_eo A^{-1} D_oe psi_e."""
+        k = self.kappa
+        t = dslash_eo(u_eo, psi_e, EVEN, self.lat)      # odd result
+        t = self._ainv(t)
+        t = dslash_eo(u_eo, t, ODD, self.lat)           # even result
+        return self._a(psi_e) - (k * k) * t
+
+    def apply_dagger(self, u_eo: jax.Array, psi_e: jax.Array) -> jax.Array:
+        g = gamma5_apply(psi_e)
+        m = dataclasses.replace(self, flavor=-self.flavor)
+        return gamma5_apply(m.apply(u_eo, g))
+
+    def normal(self, u_eo: jax.Array, psi_e: jax.Array) -> jax.Array:
+        return self.apply_dagger(u_eo, self.apply(u_eo, psi_e))
+
+    # --- even-odd source prep / solution reconstruction -------------------
+    def prepare(self, u_eo: jax.Array, b_eo: jax.Array) -> jax.Array:
+        """b (eo layout, both parities) -> preconditioned even source."""
+        b_e = jnp.take(b_eo, EVEN, axis=b_eo.ndim - 7)
+        b_o = jnp.take(b_eo, ODD, axis=b_eo.ndim - 7)
+        t = dslash_eo(u_eo, self._ainv(b_o), ODD, self.lat)  # even result
+        return b_e + self.kappa * t
+
+    def reconstruct(self, u_eo: jax.Array, x_e: jax.Array,
+                    b_eo: jax.Array) -> jax.Array:
+        """(x_e, b) -> full eo-layout solution [2, ...]."""
+        b_o = jnp.take(b_eo, ODD, axis=b_eo.ndim - 7)
+        t = dslash_eo(u_eo, x_e, EVEN, self.lat)  # odd result
+        x_o = self._ainv(b_o + self.kappa * t)
+        ax = b_eo.ndim - 7
+        return jnp.stack([x_e, x_o], axis=ax)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceTMOperatorPC:
+    """Even-odd preconditioned TM operator in *device* layout.
+
+    The production operator: spinors [4, 3, T, Z, S], eo gauge
+    [4, 2, 3, 3, T, Z, S] (ops/layout.py).  Same math as TMOperatorPC;
+    backend selects the Dslash implementation ("xla" rolls/einsum or
+    "pallas" kernels once available).
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+    backend: str = "xla"
+
+    def _dslash(self, u_dev, psi, parity, dagger=False):
+        if self.backend == "pallas":
+            from .ops.dslash_pallas import dslash_eo_pallas
+            return dslash_eo_pallas(u_dev, psi, parity, self.lat,
+                                    dagger=dagger)
+        from .ops.dslash_xla import dslash_eo_dev
+        return dslash_eo_dev(u_dev, psi, parity, self.lat, dagger=dagger)
+
+    def apply(self, u_dev: jax.Array, psi_e: jax.Array) -> jax.Array:
+        k = self.kappa
+        t = self._dslash(u_dev, psi_e, EVEN)
+        t = twist_inv_apply_dev(t, k, self.mu, self.flavor)
+        t = self._dslash(u_dev, t, ODD)
+        return (twist_apply_dev(psi_e, k, self.mu, self.flavor)
+                - (k * k) * t)
+
+    def apply_dagger(self, u_dev: jax.Array, psi_e: jax.Array) -> jax.Array:
+        g = gamma5_apply_dev(psi_e)
+        m = dataclasses.replace(self, flavor=-self.flavor)
+        return gamma5_apply_dev(m.apply(u_dev, g))
+
+    def normal(self, u_dev: jax.Array, psi_e: jax.Array) -> jax.Array:
+        return self.apply_dagger(u_dev, self.apply(u_dev, psi_e))
+
+    def prepare(self, u_dev: jax.Array, b_dev: jax.Array) -> jax.Array:
+        """b_dev [2, 4, 3, T, Z, S] -> preconditioned even source."""
+        b_e, b_o = b_dev[0], b_dev[1]
+        t = twist_inv_apply_dev(b_o, self.kappa, self.mu, self.flavor)
+        t = self._dslash(u_dev, t, ODD)
+        return b_e + self.kappa * t
+
+    def reconstruct(self, u_dev: jax.Array, x_e: jax.Array,
+                    b_dev: jax.Array) -> jax.Array:
+        b_o = b_dev[1]
+        t = self._dslash(u_dev, x_e, EVEN)
+        x_o = twist_inv_apply_dev(b_o + self.kappa * t, self.kappa, self.mu,
+                                  self.flavor)
+        return jnp.stack([x_e, x_o], axis=0)
