@@ -31,20 +31,24 @@ FLOPS_PER_SITE = 1320
 BASELINE_GFLOPS = 420.0
 
 
-def best_dslash(lat):
+def best_dslash(lat, u, psi):
+    """Returns (impl_name, dslash_fn, u_arg, psi_arg): the Pallas kernel on
+    packed fields if it compiles for this volume, else the XLA path."""
     try:
         from tpuqcd.ops.dslash_pallas import dslash_eo_pallas
+        from tpuqcd.utils.packed import pack_gauge, pack_spinor
+        u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
 
-        def ds(u_dev, p):
-            return dslash_eo_pallas(u_dev, p, 0, lat)
-        # smoke-compile before claiming it
-        return "pallas", ds
+        def ds(u_a, p):
+            return dslash_eo_pallas(u_a, p, 0, lat)
+        jax.block_until_ready(ds(u_pk, psi_pk))  # smoke-run before claiming
+        return "pallas", ds, u_pk, psi_pk
     except Exception:
         from tpuqcd.ops.dslash_xla import dslash_eo_dev
 
-        def ds(u_dev, p):
-            return dslash_eo_dev(u_dev, p, 0, lat)
-        return "xla", ds
+        def ds(u_a, p):
+            return dslash_eo_dev(u_a, p, 0, lat)
+        return "xla", ds, u, psi
 
 
 def main():
@@ -55,7 +59,7 @@ def main():
     u = apply_boundary_phase_dev(su3.random_gauge_dev(ku, lat), lat)
     psi = random_spinor_dev(kp, lat, parities=1)
 
-    impl, dslash = best_dslash(lat)
+    impl, dslash, u, psi = best_dslash(lat, u, psi)
     niter = 50
 
     @jax.jit

@@ -1,0 +1,117 @@
+"""Pallas Dslash kernel vs the XLA device-layout implementation.
+
+Runs in Pallas interpreter mode on CPU (SURVEY.md §5: golden-reference
+pattern, CI-runnable without a TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuqcd import su3
+from tpuqcd.fields import (EVEN, ODD, apply_boundary_phase_dev,
+                           random_spinor_dev)
+from tpuqcd.lattice import Lattice
+from tpuqcd.operators import (DeviceTMOperatorPC, twist_apply_dev,
+                              twist_inv_apply_dev)
+from tpuqcd.ops.dslash_pallas import dslash_eo_pallas
+from tpuqcd.ops.dslash_xla import dslash_eo_dev
+from tpuqcd.utils.packed import pack_gauge, pack_spinor, unpack_spinor
+
+LAT = Lattice((4, 6, 4, 8))
+KAPPA, MU = 0.13, 0.06
+
+
+def _setup():
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), LAT), LAT)
+    psi = random_spinor_dev(jax.random.PRNGKey(1), LAT, parities=1)
+    return u, psi
+
+
+@pytest.mark.parametrize("parity", [EVEN, ODD])
+@pytest.mark.parametrize("dagger", [False, True])
+def test_pallas_matches_xla(parity, dagger):
+    u, psi = _setup()
+    ref = dslash_eo_dev(u, psi, parity, LAT, dagger=dagger)
+    out = dslash_eo_pallas(pack_gauge(u), pack_spinor(psi), parity, LAT,
+                           dagger=dagger, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_twist_inv_epilogue():
+    u, psi = _setup()
+    ref = twist_inv_apply_dev(dslash_eo_dev(u, psi, EVEN, LAT), KAPPA, MU)
+    out = dslash_eo_pallas(pack_gauge(u), pack_spinor(psi), EVEN, LAT,
+                           epilogue="twist_inv", kappa=KAPPA, mu=MU,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_xpay_epilogue_full_pc_apply():
+    """Two fused kernel launches == the device PC operator apply."""
+    u, psi = _setup()
+    pc = DeviceTMOperatorPC(LAT, kappa=KAPPA, mu=MU)
+    ref = pc.apply(u, psi)
+
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    t1 = dslash_eo_pallas(u_pk, psi_pk, EVEN, LAT, epilogue="twist_inv",
+                          kappa=KAPPA, mu=MU, interpret=True)
+    out = dslash_eo_pallas(u_pk, t1, ODD, LAT, epilogue="xpay",
+                           kappa=KAPPA, mu=MU, psi0_pk=psi_pk,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=3e-5)
+
+
+def test_packed_operator_matches_device():
+    """PackedTMOperatorPC (both backends) vs DeviceTMOperatorPC."""
+    u, psi = _setup()
+    pc_ref = DeviceTMOperatorPC(LAT, kappa=KAPPA, mu=MU)
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    from tpuqcd.operators import PackedTMOperatorPC
+    for backend in ("xla", "pallas"):
+        pc = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend=backend,
+                                interpret=True)
+        out = unpack_spinor(pc.apply(u_pk, psi_pk))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(pc_ref.apply(u, psi)),
+                                   atol=3e-5, err_msg=backend)
+        outd = unpack_spinor(pc.apply_dagger(u_pk, psi_pk))
+        np.testing.assert_allclose(np.asarray(outd),
+                                   np.asarray(pc_ref.apply_dagger(u, psi)),
+                                   atol=3e-5, err_msg=backend)
+
+
+def test_packed_cg_solve():
+    """End-to-end: packed-field CG solve (xla backend on CPU), full-system
+    residual check through prepare/reconstruct."""
+    import jax.numpy as jnp
+    from tpuqcd.operators import PackedTMOperatorPC
+    from tpuqcd.solvers.cg import cg_normal
+    from tpuqcd.solvers.reductions import norm2
+    u, _ = _setup()
+    b = random_spinor_dev(jax.random.PRNGKey(7), LAT)  # both parities
+    u_pk = pack_gauge(u)
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    pc = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend="xla")
+    bhat = pc.prepare(u_pk, b_pk)
+    res = cg_normal(lambda x: pc.apply(u_pk, x),
+                    lambda x: pc.apply_dagger(u_pk, x),
+                    bhat, tol=1e-6, maxiter=2000)
+    assert bool(res.converged), float(res.relres)
+    x = pc.reconstruct(u_pk, res.x, b_pk)
+    # full-system residual via the complex device operator
+    from tpuqcd.utils.packed import unpack_spinor
+    pc_ref = DeviceTMOperatorPC(LAT, kappa=KAPPA, mu=MU)
+    from tpuqcd.ops.dslash_xla import dslash_eo_dev
+    from tpuqcd.operators import twist_apply_dev
+    xe, xo = unpack_spinor(x[0]), unpack_spinor(x[1])
+    # M x: even rows: A x_e - k D_eo x_o ; odd rows: A x_o - k D_oe x_e
+    re = twist_apply_dev(xe, KAPPA, MU) - KAPPA * dslash_eo_dev(u, xo, 1, LAT)
+    ro = twist_apply_dev(xo, KAPPA, MU) - KAPPA * dslash_eo_dev(u, xe, 0, LAT)
+    from tpuqcd.solvers.reductions import norm2 as n2
+    num = float(n2(b[0] - re) + n2(b[1] - ro))
+    den = float(n2(b[0]) + n2(b[1]))
+    assert (num / den) ** 0.5 < 5e-6
