@@ -69,7 +69,7 @@ def main():
         x = jax.lax.fori_loop(0, niter, body, p)
         # scalar probe forces a host round-trip per rep — block_until_ready
         # alone does not reliably block through the axon remote runtime.
-        return jnp.real(x[0, 0, 0, 0, 0])
+        return jnp.real(jnp.ravel(x)[0])
 
     float(chain(u, psi))  # warmup/compile
     reps = 3

@@ -115,3 +115,14 @@ def test_packed_cg_solve():
     num = float(n2(b[0] - re) + n2(b[1] - ro))
     den = float(n2(b[0]) + n2(b[1]))
     assert (num / den) ** 0.5 < 5e-6
+
+
+@pytest.mark.parametrize("block_z", [1, 2])
+def test_pallas_z_blocking(block_z):
+    """z-blocked grid with narrow halo refs matches the oracle."""
+    u, psi = _setup()
+    ref = dslash_eo_dev(u, psi, EVEN, LAT)
+    out = dslash_eo_pallas(pack_gauge(u), pack_spinor(psi), EVEN, LAT,
+                           block_z=block_z, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=2e-5)
