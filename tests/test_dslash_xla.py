@@ -98,3 +98,26 @@ def test_device_pc_prepare_reconstruct():
     np.testing.assert_allclose(
         np.asarray(spinor_from_device(x_dev, LAT)),
         np.asarray(x_ref), atol=2e-5)
+
+
+def test_dslash_ri_matches_complex():
+    """Packed-real XLA dslash == complex XLA dslash (f32 and f64)."""
+    import jax.numpy as jnp
+    from tpuqcd.ops.dslash_xla import dslash_eo_dev_ri
+    from tpuqcd.utils.packed import pack_gauge, pack_spinor, unpack_spinor
+    u_eo, psi_eo = _setup()
+    ud = gauge_to_device(u_eo, LAT)
+    pd = spinor_to_device(psi_eo[EVEN], LAT)
+    ref = dslash_eo_dev(ud, pd, EVEN, LAT)
+    for dt in (jnp.float32, jnp.float64):
+        out = dslash_eo_dev_ri(pack_gauge(ud, dtype=dt),
+                               pack_spinor(pd, dtype=dt), EVEN, LAT)
+        assert out.dtype == dt
+        np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                                   np.asarray(ref), atol=2e-5)
+    # dagger too
+    refd = dslash_eo_dev(ud, pd, EVEN, LAT, dagger=True)
+    outd = dslash_eo_dev_ri(pack_gauge(ud), pack_spinor(pd), EVEN, LAT,
+                            dagger=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(outd)),
+                               np.asarray(refd), atol=2e-5)

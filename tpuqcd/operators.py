@@ -218,6 +218,34 @@ class DeviceTMOperatorPC:
         return jnp.stack([x_e, x_o], axis=0)
 
 
+# --- packed-real (ri-leading) twist helpers: psi [2, 4, 3, T, Z, S] --------
+
+def twist_apply_pk(psi_pk: jax.Array, kappa: float, mu: float,
+                   flavor: int = +1) -> jax.Array:
+    """(1 + 2 i kappa mu g5 f) on packed fields."""
+    t = 2.0 * kappa * mu * flavor
+    g5 = jnp.asarray(_G5_DIAG, dtype=psi_pk.dtype).reshape(1, 4, 1, 1, 1, 1)
+    re, im = psi_pk[0], psi_pk[1]
+    tg = jnp.asarray(t, psi_pk.dtype) * g5[0]
+    return jnp.stack([re - tg * im, im + tg * re])
+
+
+def twist_inv_apply_pk(psi_pk: jax.Array, kappa: float, mu: float,
+                       flavor: int = +1) -> jax.Array:
+    t = 2.0 * kappa * mu * flavor
+    den = 1.0 / (1.0 + t * t)
+    g5 = jnp.asarray(_G5_DIAG, dtype=psi_pk.dtype).reshape(4, 1, 1, 1, 1)
+    re, im = psi_pk[0], psi_pk[1]
+    tg = jnp.asarray(t, psi_pk.dtype) * g5
+    d = jnp.asarray(den, psi_pk.dtype)
+    return jnp.stack([d * (re + tg * im), d * (im - tg * re)])
+
+
+def gamma5_apply_pk(psi_pk: jax.Array) -> jax.Array:
+    g5 = jnp.asarray(_G5_DIAG, dtype=psi_pk.dtype).reshape(1, 4, 1, 1, 1, 1)
+    return psi_pk * g5
+
+
 @dataclasses.dataclass(frozen=True)
 class PackedTMOperatorPC:
     """Production even-odd TM operator on packed-real fields.
@@ -254,17 +282,15 @@ class PackedTMOperatorPC:
             t1 = self._pallas(u_pk, psi_pk, EVEN, dagger, "twist_inv", f)
             return self._pallas(u_pk, t1, ODD, dagger, "xpay", f,
                                 psi0=psi_pk)
-        # xla fallback: unpack -> complex device-layout ops -> pack
-        from .ops.dslash_xla import dslash_eo_dev
-        from .utils.packed import pack_spinor, unpack_spinor, unpack_gauge
-        u = unpack_gauge(u_pk)
-        psi = unpack_spinor(psi_pk)
+        # xla: packed-real path, dtype-generic (this is also the f64
+        # high-precision operator on TPU)
+        from .ops.dslash_xla import dslash_eo_dev_ri
         k = self.kappa
-        t = dslash_eo_dev(u, psi, EVEN, self.lat, dagger=dagger)
-        t = twist_inv_apply_dev(t, k, self.mu, f)
-        t = dslash_eo_dev(u, t, ODD, self.lat, dagger=dagger)
-        out = twist_apply_dev(psi, k, self.mu, f) - (k * k) * t
-        return pack_spinor(out, dtype=psi_pk.dtype)
+        t = dslash_eo_dev_ri(u_pk, psi_pk, EVEN, self.lat, dagger=dagger)
+        t = twist_inv_apply_pk(t, k, self.mu, f)
+        t = dslash_eo_dev_ri(u_pk, t, ODD, self.lat, dagger=dagger)
+        return (twist_apply_pk(psi_pk, k, self.mu, f) -
+                jnp.asarray(k * k, psi_pk.dtype) * t)
 
     def apply(self, u_pk: jax.Array, psi_pk: jax.Array) -> jax.Array:
         return self._apply(u_pk, psi_pk, dagger=False)
@@ -283,35 +309,22 @@ class PackedTMOperatorPC:
         once per solve, off the hot path).
         """
         b_e, b_o = b_pk[0], b_pk[1]
+        t = twist_inv_apply_pk(b_o, self.kappa, self.mu, self.flavor)
         if self.backend == "pallas":
-            from .utils.packed import unpack_spinor, pack_spinor
-            t = pack_spinor(twist_inv_apply_dev(
-                unpack_spinor(b_o), self.kappa, self.mu, self.flavor),
-                dtype=b_pk.dtype)
             d = self._pallas(u_pk, t, ODD, False, "none", self.flavor)
-            return b_e + jnp.asarray(self.kappa, b_pk.dtype) * d
-        from .ops.dslash_xla import dslash_eo_dev
-        from .utils.packed import pack_spinor, unpack_spinor, unpack_gauge
-        u = unpack_gauge(u_pk)
-        bo = unpack_spinor(b_o)
-        t = twist_inv_apply_dev(bo, self.kappa, self.mu, self.flavor)
-        t = dslash_eo_dev(u, t, ODD, self.lat)
-        return b_pk[0] + pack_spinor(self.kappa * t, dtype=b_pk.dtype)
+        else:
+            from .ops.dslash_xla import dslash_eo_dev_ri
+            d = dslash_eo_dev_ri(u_pk, t, ODD, self.lat)
+        return b_e + jnp.asarray(self.kappa, b_pk.dtype) * d
 
     def reconstruct(self, u_pk: jax.Array, x_e: jax.Array,
                     b_pk: jax.Array) -> jax.Array:
         """x_o = A^{-1} (b_o + k D_oe x_e); returns [2(par), ...]."""
-        from .utils.packed import pack_spinor, unpack_spinor
         if self.backend == "pallas":
             d = self._pallas(u_pk, x_e, EVEN, False, "none", self.flavor)
         else:
-            from .ops.dslash_xla import dslash_eo_dev
-            from .utils.packed import unpack_gauge
-            u = unpack_gauge(u_pk)
-            d = pack_spinor(dslash_eo_dev(u, unpack_spinor(x_e), EVEN,
-                                          self.lat), dtype=x_e.dtype)
+            from .ops.dslash_xla import dslash_eo_dev_ri
+            d = dslash_eo_dev_ri(u_pk, x_e, EVEN, self.lat)
         t = b_pk[1] + jnp.asarray(self.kappa, x_e.dtype) * d
-        x_o = pack_spinor(twist_inv_apply_dev(
-            unpack_spinor(t), self.kappa, self.mu, self.flavor),
-            dtype=x_e.dtype)
+        x_o = twist_inv_apply_pk(t, self.kappa, self.mu, self.flavor)
         return jnp.stack([x_e, x_o], axis=0)

@@ -144,7 +144,7 @@ def dslash_eo_dev(u_dev: jax.Array, psi_p: jax.Array, src_parity: int,
 
     psi_c = [psi_p[a] for a in range(4)]  # each [3, T, Z, S]
     out = [None] * 4
-    for mu in range(4):
+    for mu in range(4):  # noqa: B007  (mu read via closures below)
         u_q = u_dev[mu, q]  # [3,3,T,Z,S] links based at result sites
         u_p = u_dev[mu, p]  # links based at source sites
 
@@ -163,3 +163,134 @@ def dslash_eo_dev(u_dev: jax.Array, psi_p: jax.Array, src_parity: int,
         for a in range(4):
             out[a] = out[a] + shift_bwd(rec[a])
     return jnp.stack(out, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# packed-real variant: same stencil on (re, im)-split fields of any float
+# dtype.  This is the high-precision operator on TPU (f64 pairs — TPU has no
+# complex128, and Mosaic has no f64, so this XLA path computes the exact
+# residuals for the reliable-update/iterative-refinement solvers; SURVEY.md
+# §8.3 hard part #1) and doubles as a bf16 reference path.
+
+def _cplx_mul_ri(ar, ai, br, bi, conj_a=False):
+    if conj_a:
+        return ar * br + ai * bi, ar * bi - ai * br
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def dslash_eo_dev_ri(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
+                     lat: Lattice, dagger: bool = False) -> jax.Array:
+    """D_{q<-p} on packed-real fields (utils/packed.py layout).
+
+    u_pk [4, 2, 3, 3, 2, T, Z, S]; psi_pk [2, 4, 3, T, Z, S]; any float
+    dtype (f64 for the precise operator, f32/bf16 otherwise).
+    """
+    from ..gammas import (HALF_PROJ_MINUS, HALF_PROJ_PLUS,
+                          HALF_RECON_MINUS, HALF_RECON_PLUS)
+    p = src_parity
+    q = 1 - p
+    Xh = lat.Lx // 2
+    o_p, is_first, is_last = _masks(lat, p)
+    o_p = jnp.asarray(o_p)
+    is_first = jnp.asarray(is_first)
+    is_last = jnp.asarray(is_last)
+
+    hpm, hrm = HALF_PROJ_MINUS, HALF_RECON_MINUS
+    hpp, hrp = HALF_PROJ_PLUS, HALF_RECON_PLUS
+    if dagger:
+        hpm, hrm, hpp, hrp = hpp, hrp, hpm, hrm
+
+    def sroll(f, k):
+        return jnp.roll(f, k, axis=-1)
+
+    def shift_fwd(f, mu):
+        if mu == 3:
+            return jnp.roll(f, -1, axis=-3)
+        if mu == 2:
+            return jnp.roll(f, -1, axis=-2)
+        if mu == 1:
+            return sroll(f, -Xh)
+        return jnp.where(o_p, f,
+                         jnp.where(is_last, sroll(f, Xh - 1), sroll(f, -1)))
+
+    def shift_bwd(f, mu):
+        if mu == 3:
+            return jnp.roll(f, +1, axis=-3)
+        if mu == 2:
+            return jnp.roll(f, +1, axis=-2)
+        if mu == 1:
+            return sroll(f, +Xh)
+        return jnp.where(o_p,
+                         jnp.where(is_first, sroll(f, -(Xh - 1)), sroll(f, 1)),
+                         f)
+
+    def combine(tab, comps):
+        """comps[b] = (re, im) pair of [3, T, Z, S]; entries 0/+-1/+-i."""
+        out = []
+        for row in tab:
+            acc_r, acc_i = None, None
+            for b, coef in enumerate(row):
+                c = complex(coef)
+                if c == 0:
+                    continue
+                r_, i_ = comps[b]
+                if c == 1:
+                    tr, ti = r_, i_
+                elif c == -1:
+                    tr, ti = -r_, -i_
+                elif c == 1j:
+                    tr, ti = -i_, r_
+                else:
+                    tr, ti = i_, -r_
+                acc_r = tr if acc_r is None else acc_r + tr
+                acc_i = ti if acc_i is None else acc_i + ti
+            out.append((acc_r, acc_i))
+        return out
+
+    def su3_mv_ri(u_mu_par, h, dag):
+        """u [3,3,2,T,Z,S]; h[j] = (re, im) of [T,Z,S] color comps list."""
+        res = []
+        for i in range(3):
+            ar, ai = None, None
+            for j in range(3):
+                ur = u_mu_par[j, i, 0] if dag else u_mu_par[i, j, 0]
+                ui = u_mu_par[j, i, 1] if dag else u_mu_par[i, j, 1]
+                hr, hi = h[j]
+                tr, ti = _cplx_mul_ri(ur, ui, hr, hi, conj_a=dag)
+                ar = tr if ar is None else ar + tr
+                ai = ti if ai is None else ai + ti
+            res.append((ar, ai))
+        return res
+
+    psi_c = [(psi_pk[0, a], psi_pk[1, a]) for a in range(4)]  # [3,T,Z,S] pairs
+    out = [None] * 4
+
+    def accum(rec):
+        for a in range(4):
+            r_, i_ = rec[a]
+            if out[a] is None:
+                out[a] = (r_, i_)
+            else:
+                out[a] = (out[a][0] + r_, out[a][1] + i_)
+
+    for mu in range(4):
+        # forward
+        h = combine(hpm[mu], psi_c)  # 2 half-spinors, (re, im) of [3,T,Z,S]
+        h = [(shift_fwd(r_, mu), shift_fwd(i_, mu)) for r_, i_ in h]
+        h = [[(hr[j], hi[j]) for j in range(3)] for hr, hi in h]
+        uh = [su3_mv_ri(u_pk[mu, q], hj, dag=False) for hj in h]
+        uh = [(jnp.stack([c[0] for c in comp]), jnp.stack([c[1] for c in comp]))
+              for comp in uh]
+        accum(combine(hrm[mu], uh))
+        # backward
+        h = combine(hpp[mu], psi_c)
+        h = [[(hr[j], hi[j]) for j in range(3)] for hr, hi in h]
+        uh = [su3_mv_ri(u_pk[mu, p], hj, dag=True) for hj in h]
+        uh = [(shift_bwd(jnp.stack([c[0] for c in comp]), mu),
+               shift_bwd(jnp.stack([c[1] for c in comp]), mu))
+              for comp in uh]
+        accum(combine(hrp[mu], uh))
+
+    re = jnp.stack([out[a][0] for a in range(4)])
+    im = jnp.stack([out[a][1] for a in range(4)])
+    return jnp.stack([re, im])

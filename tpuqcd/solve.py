@@ -1,0 +1,103 @@
+"""High-level solve API: the TPU-native `invertQuda`.
+
+Replaces the reference's interface layer for solves
+(`lib/interface_quda.cpp:invertQuda` [U]; SURVEY.md C18, §4.2): builds
+the precision trio (sloppy operator for the Krylov iteration, f64
+packed-real operator for true residuals), runs even-odd preparation,
+the mixed-precision solver with defect-correction restarts, and the
+solution reconstruction.
+
+Example:
+    lat = Lattice((16, 16, 16, 32))
+    res = solve_tm(u_pk, b_pk, lat, kappa=0.115, mu=0.05, tol=1e-10)
+    x_full = res.x          # [2(parity), 2(ri), 4, 3, T, Z, S] f64
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .lattice import Lattice
+from .operators import PackedTMOperatorPC
+from .solvers.bicgstab import bicgstab
+from .solvers.cg import _cg_cycle, CGResult
+from .solvers.reductions import norm2
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array          # [2(par), 2(ri), 4, 3, T, Z, S] in hp dtype
+    relres: jax.Array     # certified true residual of Mhat x_e = bhat (f64)
+    iters: jax.Array
+
+
+def _refined_solve(pc_sloppy, pc_hp, u_s, u_hp, bhat_hp, *, tol, maxiter,
+                   inner_tol, solver):
+    """Defect-correction loop: sloppy Krylov inner, f64 true residuals."""
+    bsq = norm2(bhat_hp)
+    tol2 = (tol * tol) * bsq
+    sdt = u_s.dtype
+
+    def inner(r_s, budget):
+        if solver == "bicgstab":
+            res = bicgstab(lambda x: pc_sloppy.apply(u_s, x), r_s,
+                           tol=inner_tol, maxiter=budget)
+            return res.x, res.iters
+        # CG on the normal equations
+        bn = pc_sloppy.apply_dagger(u_s, r_s)
+        dx, _, k = _cg_cycle(
+            lambda x: pc_sloppy.apply_dagger(u_s, pc_sloppy.apply(u_s, x)),
+            bn, jnp.zeros_like(bn),
+            (inner_tol * inner_tol) * norm2(bn), budget)
+        return dx, 2 * k + 1
+
+    def cond(st):
+        x, rsq, k, nref = st
+        return jnp.logical_and(jnp.logical_and(rsq > tol2, k < maxiter),
+                               nref < 40)
+
+    def body(st):
+        x, rsq, k, nref = st
+        r_hp = bhat_hp - pc_hp.apply(u_hp, x)
+        dx, used = inner(r_hp.astype(sdt), maxiter - k)
+        x = x + dx.astype(x.dtype)
+        r_new = bhat_hp - pc_hp.apply(u_hp, x)
+        return (x, norm2(r_new), k + used + 2, nref + 1)
+
+    x0 = jnp.zeros_like(bhat_hp)
+    st = (x0, bsq * jnp.float64(4.0), jnp.int32(0), jnp.int32(0))
+    x, rsq, k, _ = jax.lax.while_loop(cond, body, st)
+    return x, jnp.sqrt(rsq / jnp.maximum(bsq, 1e-300)), k
+
+
+def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
+             kappa: float, mu: float, flavor: int = +1,
+             tol: float = 1e-10, maxiter: int = 5000,
+             inner_tol: float = 1e-5, solver: str = "cg",
+             sloppy_dtype=jnp.float32, backend: str = "pallas",
+             interpret: bool = False) -> SolveResult:
+    """Solve the full (two-parity) twisted-mass system M x = b.
+
+    u_pk: packed gauge [4,2,3,3,2,T,Z,S] (any float dtype; cast as needed).
+    b_pk: packed source [2(par), 2(ri), 4, 3, T, Z, S].
+    solver: "cg" (normal equations) or "bicgstab" (direct on Mhat).
+    Residuals are certified with the f64 packed operator (SURVEY.md §8.3
+    hard part #1); tol is on the *even-odd preconditioned* system.
+    """
+    hp = jnp.float64
+    pc_s = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
+                              backend=backend, interpret=interpret)
+    pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
+                               backend="xla")
+    u_s = u_pk.astype(sloppy_dtype)
+    u_hp = u_pk.astype(hp)
+    b_hp = b_pk.astype(hp)
+
+    bhat = pc_hp.prepare(u_hp, b_hp)
+    x_e, relres, iters = _refined_solve(
+        pc_s, pc_hp, u_s, u_hp, bhat, tol=tol, maxiter=maxiter,
+        inner_tol=inner_tol, solver=solver)
+    x = pc_hp.reconstruct(u_hp, x_e, b_hp)
+    return SolveResult(x=x, relres=relres, iters=iters)
