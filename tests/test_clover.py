@@ -1,0 +1,95 @@
+"""Clover term: Hermiticity, free field, TM-clover operator + solve."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuqcd import su3
+from tpuqcd.fields import EVEN, ODD
+from tpuqcd.lattice import Lattice
+from tpuqcd.operators import (CloverData, DeviceTMOperatorPC,
+                              TMCloverOperatorPC)
+from tpuqcd.ops.clover import clover_apply, clover_blocks
+from tpuqcd.solvers.cg import cg_normal
+from tpuqcd.solvers.reductions import norm2
+
+LAT = Lattice((4, 4, 4, 8))
+KAPPA, MU, CSW = 0.115, 0.06, 1.2
+
+
+def _u(key=4):
+    from tpuqcd.fields import apply_boundary_phase_dev
+    return apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(key), LAT), LAT)
+
+
+def _psi(key=5):
+    from tpuqcd.fields import random_spinor_dev
+    return random_spinor_dev(jax.random.PRNGKey(key), LAT, parities=1)
+
+
+def test_clover_blocks_hermitian():
+    a = clover_blocks(_u(), LAT, KAPPA, CSW)
+    an = np.asarray(a)  # [2,2,6,6,T,Z,S]
+    np.testing.assert_allclose(an, np.conj(an.transpose(0, 1, 3, 2, 4, 5, 6)),
+                               atol=1e-5)
+
+
+def test_clover_free_field_identity():
+    """Unit gauge: F = 0, A = 1, clover apply is the identity and the
+    TM-clover operator reduces to plain TM."""
+    u = su3.unit_gauge_dev(LAT)
+    a = clover_blocks(u, LAT, KAPPA, CSW)
+    psi = _psi()
+    out = clover_apply(a[EVEN], psi)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(psi), atol=1e-6)
+
+    clov = CloverData.build(u, LAT, KAPPA, MU, CSW)
+    op_c = TMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW)
+    op_t = DeviceTMOperatorPC(LAT, kappa=KAPPA, mu=MU)
+    np.testing.assert_allclose(np.asarray(op_c.apply(u, clov, psi)),
+                               np.asarray(op_t.apply(u, psi)), atol=1e-5)
+
+
+def test_tmclover_adjointness():
+    """<x, M y> == <Mdag x, y> for the even-odd TM-clover operator."""
+    u = _u()
+    clov = CloverData.build(u, LAT, KAPPA, MU, CSW)
+    op = TMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW)
+    y = _psi(11)
+    x = _psi(12)
+    my = np.asarray(op.apply(u, clov, y)).ravel()
+    mdx = np.asarray(op.apply_dagger(u, clov, x)).ravel()
+    lhs = np.vdot(np.asarray(x).ravel(), my)
+    rhs = np.vdot(mdx, np.asarray(y).ravel())
+    np.testing.assert_allclose(lhs, rhs, rtol=3e-5)
+
+
+def test_tmclover_solve():
+    """CG on the TM-clover normal equations + full-system residual through
+    prepare/reconstruct (true-residual self-oracle)."""
+    u = _u()
+    clov = CloverData.build(u, LAT, KAPPA, MU, CSW)
+    op = TMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW)
+    from tpuqcd.fields import random_spinor_dev
+    b = random_spinor_dev(jax.random.PRNGKey(21), LAT)  # [2, 4,3,T,Z,S]
+    bhat = op.prepare(u, clov, b)
+    res = cg_normal(lambda v: op.apply(u, clov, v),
+                    lambda v: op.apply_dagger(u, clov, v),
+                    bhat, tol=1e-6, maxiter=3000)
+    assert bool(res.converged), float(res.relres)
+    x = op.reconstruct(u, clov, res.x, b)
+    # full-system check: M x = b with
+    #   even rows: Atw x_e - k D_eo x_o;  odd rows: Atw x_o - k D_oe x_e
+    from tpuqcd.ops.dslash_xla import dslash_eo_dev
+    from tpuqcd.ops.clover import clover_apply as capply
+    from tpuqcd.operators import gamma5_apply_dev
+    t = 2.0 * KAPPA * MU
+
+    def atw(par, v):
+        return capply(clov.a_blocks[par], v) + (1j * t) * gamma5_apply_dev(v)
+
+    re = atw(EVEN, x[0]) - KAPPA * dslash_eo_dev(u, x[1], ODD, LAT)
+    ro = atw(ODD, x[1]) - KAPPA * dslash_eo_dev(u, x[0], EVEN, LAT)
+    rel = float(jnp.sqrt((norm2(b[0] - re) + norm2(b[1] - ro)) /
+                         (norm2(b[0]) + norm2(b[1]))))
+    assert rel < 5e-6, rel

@@ -1,0 +1,74 @@
+"""Gauge tools: plaquette, gauge invariance, APE smearing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuqcd import su3
+from tpuqcd.lattice import Lattice
+from tpuqcd.ops import mat3
+from tpuqcd.ops.gauge_tools import (ape_smear, plaquette, spatial_plaquette)
+from tpuqcd.ops.shifts import field_at, neighbor
+
+LAT = Lattice((4, 6, 4, 8))
+
+
+def _u():
+    return su3.random_gauge_dev(jax.random.PRNGKey(3), LAT)
+
+
+def test_plaquette_unit_gauge():
+    u = su3.unit_gauge_dev(LAT)
+    assert abs(float(plaquette(u, LAT)) - 1.0) < 1e-6
+    assert abs(float(spatial_plaquette(u, LAT)) - 1.0) < 1e-6
+
+
+def test_plaquette_gauge_invariance():
+    """Plaquette unchanged under U_mu(x) -> g(x) U_mu(x) g(x+mu)^dag.
+
+    Exercises the whole eo shift algebra in one shot."""
+    u = _u()
+    p0 = float(plaquette(u, LAT))
+    # random gauge transform field g, one SU(3) per site: [2, 3, 3, T, Z, S]
+    T, Z, Y, Xh = (*LAT.full_shape[:3], LAT.Lx // 2)
+    g = su3.random_su3_leading(jax.random.PRNGKey(9), (2, T, Z, Y * Xh))
+    g = jnp.transpose(g, (2, 0, 1, 3, 4, 5))  # -> [2(par), 3, 3, T, Z, S]
+    u_new = []
+    for mu in range(4):
+        pars = []
+        for p in (0, 1):
+            g_xmu = field_at(g, p, [(mu, +1)], LAT)
+            pars.append(mat3.mul(mat3.mul(g[p], u[mu, p]), g_xmu, bdag=True))
+        u_new.append(jnp.stack(pars))
+    u_new = jnp.stack(u_new)
+    p1 = float(plaquette(u_new, LAT))
+    assert abs(p1 - p0) < 1e-5, (p0, p1)
+
+
+def test_neighbor_roundtrip():
+    """neighbor(+mu) then neighbor(-mu) is the identity."""
+    u = _u()
+    f = u[0, 0]  # [3,3,T,Z,S] at even sites
+    g = neighbor(f, 0, +1, 0, LAT)   # at odd sites
+    h = neighbor(g, 0, -1, 1, LAT)   # back at even sites
+    np.testing.assert_allclose(np.asarray(h), np.asarray(f), atol=0)
+    for mu in range(4):
+        g = neighbor(f, mu, +1, 0, LAT)
+        h = neighbor(g, mu, -1, 1, LAT)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(f), atol=0)
+
+
+def test_ape_smear():
+    """APE smearing raises the spatial plaquette and stays in SU(3)."""
+    u = _u()
+    p0 = float(spatial_plaquette(u, LAT))
+    us = ape_smear(u, LAT, alpha=0.5, n_steps=3)
+    p1 = float(spatial_plaquette(us, LAT))
+    assert p1 > p0 + 0.05, (p0, p1)
+    # t links untouched
+    np.testing.assert_allclose(np.asarray(us[3]), np.asarray(u[3]), atol=0)
+    # SU(3): U U^dag = 1, det = 1
+    m = np.asarray(us[0, 0]).reshape(3, 3, -1).transpose(2, 0, 1)
+    np.testing.assert_allclose(m @ m.conj().transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), m.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(m), np.ones(len(m)), atol=1e-5)

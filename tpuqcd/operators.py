@@ -218,6 +218,89 @@ class DeviceTMOperatorPC:
         return jnp.stack([x_e, x_o], axis=0)
 
 
+@dataclasses.dataclass(frozen=True)
+class CloverData:
+    """Precomputed clover-term arrays for a gauge configuration.
+
+    a_blocks: [2(par), 2(chir), 6, 6, T, Z, S] Hermitian site matrices A(x)
+    ainv_odd_plus/minus: [2(chir), 6, 6, T, Z, S] = (A_oo +- 2 i k mu g5)^-1
+    (ops/clover.py; reference CloverField + cloverInvert [U], SURVEY.md C4).
+    """
+    a_blocks: jax.Array
+    ainv_odd_plus: jax.Array
+    ainv_odd_minus: jax.Array
+
+    @staticmethod
+    def build(u_dev: jax.Array, lat: Lattice, kappa: float, mu: float,
+              csw: float) -> "CloverData":
+        from .ops.clover import clover_blocks, clover_twist_inverse
+        a = clover_blocks(u_dev, lat, kappa, csw)
+        return CloverData(
+            a_blocks=a,
+            ainv_odd_plus=clover_twist_inverse(a, kappa, mu, +1, ODD),
+            ainv_odd_minus=clover_twist_inverse(a, kappa, mu, -1, ODD))
+
+
+@dataclasses.dataclass(frozen=True)
+class TMCloverOperatorPC:
+    """Even-odd preconditioned twisted-clover operator (complex device
+    layout, XLA backend).
+
+    Mhat = Atw_ee - k^2 D_eo Atw_oo^{-1} D_oe,  Atw = A_clover + 2 i k mu
+    f gamma5.  Reference `dirac_twisted_clover.cpp` (*PC classes) [U];
+    SURVEY.md C10.  The dagger uses Mhat^dag = Atw_ee(-f) - k^2
+    Ddag_eo Atw_oo(-f)^{-1} Ddag_oe (A Hermitian).
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    csw: float = 1.0
+    flavor: int = +1
+
+    def _site_e(self, clover: CloverData, psi, flavor):
+        from .ops.clover import clover_apply
+        a = clover_apply(clover.a_blocks[EVEN], psi)
+        t = 2.0 * self.kappa * self.mu * flavor
+        return a + (1j * t) * gamma5_apply_dev(psi)
+
+    def _ainv_o(self, clover: CloverData, psi, flavor):
+        from .ops.clover import clover_apply
+        ainv = (clover.ainv_odd_plus if flavor == +1
+                else clover.ainv_odd_minus)
+        return clover_apply(ainv, psi)
+
+    def _apply(self, u_dev, clover, psi_e, dagger: bool):
+        from .ops.dslash_xla import dslash_eo_dev
+        f = self.flavor if not dagger else -self.flavor
+        k = self.kappa
+        t = dslash_eo_dev(u_dev, psi_e, EVEN, self.lat, dagger=dagger)
+        t = self._ainv_o(clover, t, f)
+        t = dslash_eo_dev(u_dev, t, ODD, self.lat, dagger=dagger)
+        return self._site_e(clover, psi_e, f) - (k * k) * t
+
+    def apply(self, u_dev, clover: CloverData, psi_e):
+        return self._apply(u_dev, clover, psi_e, dagger=False)
+
+    def apply_dagger(self, u_dev, clover: CloverData, psi_e):
+        return self._apply(u_dev, clover, psi_e, dagger=True)
+
+    def normal(self, u_dev, clover: CloverData, psi_e):
+        return self.apply_dagger(u_dev, clover,
+                                 self.apply(u_dev, clover, psi_e))
+
+    def prepare(self, u_dev, clover: CloverData, b_eo):
+        from .ops.dslash_xla import dslash_eo_dev
+        b_e, b_o = b_eo[0], b_eo[1]
+        t = self._ainv_o(clover, b_o, self.flavor)
+        return b_e + self.kappa * dslash_eo_dev(u_dev, t, ODD, self.lat)
+
+    def reconstruct(self, u_dev, clover: CloverData, x_e, b_eo):
+        from .ops.dslash_xla import dslash_eo_dev
+        t = b_eo[1] + self.kappa * dslash_eo_dev(u_dev, x_e, EVEN, self.lat)
+        x_o = self._ainv_o(clover, t, self.flavor)
+        return jnp.stack([x_e, x_o], axis=0)
+
+
 # --- packed-real (ri-leading) twist helpers: psi [2, 4, 3, T, Z, S] --------
 
 def twist_apply_pk(psi_pk: jax.Array, kappa: float, mu: float,
