@@ -1,0 +1,76 @@
+"""Sharded operator == single-device operator (SURVEY.md §5 item 3):
+runs on the 8-virtual-device CPU mesh with interpreter-mode kernels."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuqcd import su3
+from tpuqcd.fields import apply_boundary_phase_dev, random_spinor_dev
+from tpuqcd.lattice import Lattice
+from tpuqcd.operators import PackedTMOperatorPC
+from tpuqcd.parallel.mesh import LatticeMesh
+from tpuqcd.parallel.sharded import ShardedTMOperatorPC
+from tpuqcd.utils.packed import pack_gauge, pack_spinor
+
+LAT = Lattice((4, 4, 4, 8))
+KAPPA, MU = 0.13, 0.05
+
+
+def _problem():
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), LAT), LAT)
+    psi = random_spinor_dev(jax.random.PRNGKey(1), LAT, parities=1)
+    return pack_gauge(u), pack_spinor(psi)
+
+
+@pytest.mark.parametrize("grid", [(2, 1), (4, 1), (2, 2)])
+def test_sharded_apply_matches_single(grid, cpu_devices):
+    nt, nz = grid
+    u_pk, psi_pk = _problem()
+    ref_op = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend="xla")
+    ref = ref_op.apply(u_pk, psi_pk)
+
+    lmesh = LatticeMesh.make(LAT, nt, nz, devices=cpu_devices)
+    op = ShardedTMOperatorPC(LAT, lmesh, kappa=KAPPA, mu=MU,
+                             interpret=True, block_z=2)
+    u_sh = lmesh.shard_gauge(u_pk)
+    psi_sh = lmesh.shard_spinor(psi_pk)
+    u_ext = op.extend_gauge(u_sh)
+    out = op.apply(u_ext, psi_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+    outd = op.apply_dagger(u_ext, psi_sh)
+    refd = ref_op.apply_dagger(u_pk, psi_pk)
+    np.testing.assert_allclose(np.asarray(outd), np.asarray(refd),
+                               atol=3e-5)
+
+
+def test_sharded_solve(cpu_devices):
+    """End-to-end sharded CG (xla reductions auto-psum across shards)."""
+    from tpuqcd.solvers.cg import cg_normal
+    u_pk, _ = _problem()
+    b = random_spinor_dev(jax.random.PRNGKey(7), LAT)
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    lmesh = LatticeMesh.make(LAT, 4, 1, devices=cpu_devices)
+    op = ShardedTMOperatorPC(LAT, lmesh, kappa=KAPPA, mu=MU,
+                             interpret=True, block_z=2)
+    u_sh = lmesh.shard_gauge(u_pk)
+    b_sh = jax.device_put(
+        b_pk, jax.NamedSharding(lmesh.mesh,
+                                jax.P(None, *lmesh.spinor_spec())))
+    u_ext = op.extend_gauge(u_sh)
+    bhat = op.prepare(u_ext, b_sh)
+    res = cg_normal(lambda x: op.apply(u_ext, x),
+                    lambda x: op.apply_dagger(u_ext, x),
+                    bhat, tol=1e-5, maxiter=500)
+    assert bool(res.converged), float(res.relres)
+    x = op.reconstruct(u_ext, res.x, b_sh)
+    # compare against single-device solve of the same system
+    ref_op = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend="xla")
+    bhat_ref = ref_op.prepare(u_pk, b_pk)
+    res_ref = cg_normal(lambda v: ref_op.apply(u_pk, v),
+                        lambda v: ref_op.apply_dagger(u_pk, v),
+                        bhat_ref, tol=1e-5, maxiter=500)
+    x_ref = ref_op.reconstruct(u_pk, res_ref.x, b_pk)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-3)

@@ -59,10 +59,10 @@ def _auto_block_z(Z: int, S: int, itemsize: int,
 def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             lat: Lattice, parity: int, dagger: bool,
             epilogue: str, kappa: float, mu: float, flavor: int, Zb: int,
-            compute_dtype):
+            z_blocked: bool, compute_dtype):
     """One [Zb, S] slab; see module docstring for the stencil plan."""
     rest = list(rest)
-    if Zb < lat.Lz:
+    if z_blocked:
         psi_zp_ref, psi_zm_ref, u_zm_ref = rest[:3]
         rest = rest[3:]
     else:
@@ -71,7 +71,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         psi0_ref, out_ref = rest
     else:
         (out_ref,) = rest
-    T, Z, Y = lat.Lt, lat.Lz, lat.Ly
+    Y = lat.Ly
     Xh = lat.Lx // 2
     S = Y * Xh
     p, q = parity, 1 - parity
@@ -283,23 +283,38 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
 @functools.partial(
     jax.jit,
     static_argnames=("src_parity", "lat", "dagger", "epilogue", "kappa",
-                     "mu", "flavor", "block_z", "interpret"))
+                     "mu", "flavor", "block_z", "interpret", "local_dims",
+                     "halo_t", "halo_z"))
 def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      lat: Lattice, dagger: bool = False,
                      epilogue: str = "none", kappa: float = 0.0,
                      mu: float = 0.0, flavor: int = 1,
                      psi0_pk: jax.Array | None = None,
                      block_z: int | None = None,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     local_dims: tuple[int, int] | None = None,
+                     halo_t: bool = False,
+                     halo_z: bool = False) -> jax.Array:
     """Packed-real even-odd Dslash with fused site-term epilogues.
 
     u_pk [4,2,3,3,2,T,Z,S]; psi_pk [2,4,3,T,Z,S] at src_parity; returns
     the same shape at parity 1-src_parity (epilogues apply site terms of
     the result parity).
+
+    Multi-chip mode (tpuqcd.parallel): per-shard arrays carry exchanged
+    halos appended along T / Z —
+      halo_t: psi [.., Tl+2, ..]: index Tl = t-1 halo, Tl+1 = t+1 halo;
+              u [.., Tl+1, ..]: index Tl = t-1 halo.
+      halo_z: psi [.., Zl + 2*Zb]: slab nzb = z-lo halo, nzb+1 = z-hi halo;
+              u [.., Zl + Zb]: slab nzb = z-lo halo.
+    local_dims = (Tl, Zl) gives the *logical* local extent (defaults to
+    the global lattice dims); the eo checkerboard stays globally correct
+    as long as every shard offset is even (asserted in tpuqcd.parallel).
     """
-    T, Z, Y = lat.Lt, lat.Lz, lat.Ly
+    Y = lat.Ly
     Xh = lat.Lx // 2
     S = Y * Xh
+    T, Z = local_dims if local_dims is not None else (lat.Lt, lat.Lz)
     p = src_parity
     if block_z is None:
         block_z = _auto_block_z(Z, S, psi_pk.dtype.itemsize)
@@ -309,6 +324,41 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
 
     spinor_block = (2, 4, 3, 1, Zb, S)
 
+    if halo_t:
+        def t_m1(t):
+            return jnp.where(t == 0, T, t - 1)
+
+        def t_p1(t):
+            return jnp.where(t == T - 1, T + 1, t + 1)
+
+        def t_m1_u(t):
+            return jnp.where(t == 0, T, t - 1)
+    else:
+        def t_m1(t):
+            return (t - 1) % T
+
+        def t_p1(t):
+            return (t + 1) % T
+
+        t_m1_u = t_m1
+    if halo_z:
+        def z_m1(zb):
+            return jnp.where(zb == 0, nzb, zb - 1)
+
+        def z_p1(zb):
+            return jnp.where(zb == nzb - 1, nzb + 1, zb + 1)
+
+        def z_m1_u(zb):
+            return jnp.where(zb == 0, nzb, zb - 1)
+    else:
+        def z_m1(zb):
+            return (zb - 1) % nzb
+
+        def z_p1(zb):
+            return (zb + 1) % nzb
+
+        z_m1_u = z_m1
+
     def spin_spec(tmap, zmap=None):
         zmap = zmap or (lambda t, zb: zb)
         return pl.BlockSpec(spinor_block,
@@ -317,24 +367,24 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
 
     in_specs = [
         spin_spec(lambda t: t),
-        spin_spec(lambda t: (t + 1) % T),
-        spin_spec(lambda t: (t - 1) % T),
+        spin_spec(t_p1),
+        spin_spec(t_m1),
         pl.BlockSpec((4, 2, 3, 3, 2, 1, Zb, S),
                      lambda t, zb: (0, 0, 0, 0, 0, t, zb, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 3, 3, 2, 1, Zb, S),
-                     lambda t, zb: (3, p, 0, 0, 0, (t - 1) % T, zb, 0),
+                     lambda t, zb: (3, p, 0, 0, 0, t_m1_u(t), zb, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [psi_pk, psi_pk, psi_pk, u_pk, u_pk]
-    if Zb < Z:
+    if Zb < Z or halo_z:
         # full-slab z-halo refs (Mosaic rejects sub-8-row blocks; a narrow
         # single-row halo fetch needs the manual-DMA v2 kernel)
         in_specs += [
-            spin_spec(lambda t: t, lambda t, zb: (zb + 1) % nzb),
-            spin_spec(lambda t: t, lambda t, zb: (zb - 1) % nzb),
+            spin_spec(lambda t: t, lambda t, zb: z_p1(zb)),
+            spin_spec(lambda t: t, lambda t, zb: z_m1(zb)),
             pl.BlockSpec((1, 1, 3, 3, 2, 1, Zb, S),
-                         lambda t, zb: (2, p, 0, 0, 0, t, (zb - 1) % nzb, 0),
+                         lambda t, zb: (2, p, 0, 0, 0, t, z_m1_u(zb), 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [psi_pk, psi_pk, u_pk]
@@ -346,14 +396,16 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     out_spec = pl.BlockSpec(spinor_block, lambda t, zb: (0, 0, 0, t, zb, 0),
                             memory_space=pltpu.VMEM)
 
+    z_blocked = (Zb < Z) or halo_z
     kern = functools.partial(
         _kernel, lat=lat, parity=p, dagger=dagger, epilogue=epilogue,
-        kappa=kappa, mu=mu, flavor=flavor, Zb=Zb,
+        kappa=kappa, mu=mu, flavor=flavor, Zb=Zb, z_blocked=z_blocked,
         compute_dtype=jnp.float32)
 
     flops = 1320 * (Z * S) * T
     bytes_acc = psi_pk.size * psi_pk.dtype.itemsize * 4 + \
         u_pk.size * u_pk.dtype.itemsize
+    out_shape = jax.ShapeDtypeStruct((2, 4, 3, T, Z, S), psi_pk.dtype)
 
     # Mosaic lowering recurses fatally on 64-bit scalars that leak in under
     # jax_enable_x64; trace the kernel with x64 semantics off (operands are
@@ -364,7 +416,7 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
             grid=(T, nzb),
             in_specs=in_specs,
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct(psi_pk.shape, psi_pk.dtype),
+            out_shape=out_shape,
             cost_estimate=pl.CostEstimate(flops=flops,
                                           bytes_accessed=bytes_acc,
                                           transcendentals=0),

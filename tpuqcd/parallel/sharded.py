@@ -1,0 +1,182 @@
+"""Sharded Dslash / operator: ppermute halo exchange + per-shard kernels.
+
+TPU-native equivalent of the reference's halo machinery
+(`dslash_pack.cu` pack kernels + MPI_Isend/Irecv + interior/exterior
+kernels, `dslash_policy.cuh` [U]; SURVEY.md C6/C7, §4.4): here the
+boundary slices are exchanged with lax.ppermute over the ICI mesh inside
+shard_map, appended to the local arrays as halo slabs, and the Pallas
+kernel reads them via its halo_t/halo_z index maps
+(ops/dslash_pallas.py).  XLA schedules the ppermutes concurrently with
+other work; an explicit interior/boundary split is a later optimization
+(the reference's overlap engine).
+
+Gauge halos are static per configuration: extend_gauge() exchanges them
+once and the extended array is reused by every solve.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..fields import EVEN, ODD
+from ..lattice import Lattice
+from .mesh import LatticeMesh
+
+
+def _pperm(x, axis_name, shift):
+    """receive from the neighbor at (my_index - shift) on a periodic ring."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _exchange_t(psi_loc, tn):
+    """psi [2,4,3,Tl,Z,S] -> [2,4,3,Tl+2,Z,S] with t-1, t+1 halos appended."""
+    if tn == 1:
+        lo = psi_loc[:, :, :, -1:]
+        hi = psi_loc[:, :, :, :1]
+    else:
+        lo = _pperm(psi_loc[:, :, :, -1:], "t", +1)   # from t-neighbor below
+        hi = _pperm(psi_loc[:, :, :, :1], "t", -1)    # from t-neighbor above
+    return jnp.concatenate([psi_loc, lo, hi], axis=3)
+
+
+def _exchange_z(psi_loc, zn, Zb):
+    """append z-lo / z-hi halo slabs of Zb rows along Z (axis 4)."""
+    if zn == 1:
+        lo = psi_loc[:, :, :, :, -Zb:]
+        hi = psi_loc[:, :, :, :, :Zb]
+    else:
+        lo = _pperm(psi_loc[:, :, :, :, -Zb:], "z", +1)
+        hi = _pperm(psi_loc[:, :, :, :, :Zb], "z", -1)
+    return jnp.concatenate([psi_loc, lo, hi], axis=4)
+
+
+def _exchange_gauge(u_loc, tn, zn, Zb):
+    """u [4,2,3,3,2,Tl,Z,S] -> extended along T (+1 slice) and Z (+Zb)."""
+    if tn == 1:
+        t_lo = u_loc[..., -1:, :, :]
+    else:
+        t_lo = _pperm(u_loc[..., -1:, :, :], "t", +1)
+    u_ext = jnp.concatenate([u_loc, t_lo], axis=5)
+    if Zb is not None:
+        if zn == 1:
+            z_lo = u_ext[..., -Zb:, :]
+        else:
+            z_lo = _pperm(u_ext[..., -Zb:, :], "z", +1)
+        u_ext = jnp.concatenate([u_ext, z_lo], axis=6)
+    return u_ext
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedTMOperatorPC:
+    """Even-odd preconditioned TM operator over a LatticeMesh.
+
+    apply()/apply_dagger()/prepare()/reconstruct() mirror
+    PackedTMOperatorPC but run as shard_map programs: halo exchange via
+    ppermute, per-shard fused Pallas kernels (backend="pallas") or the
+    packed XLA stencil on the *extended* local arrays is not needed for
+    xla — the rolls are auto-partitioned by XLA SPMD, so backend="xla"
+    simply calls the global implementation under jit.
+    """
+    lat: Lattice
+    lmesh: LatticeMesh
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+    backend: str = "pallas"
+    block_z: int | None = None
+    interpret: bool = False
+
+    def _local_lat_dims(self):
+        return self.lmesh.local_dims
+
+    def _zb(self):
+        from ..ops.dslash_pallas import _auto_block_z
+        if self.block_z is not None:
+            return self.block_z
+        Tl, Zl = self.lmesh.local_dims
+        S = self.lat.Ly * self.lat.Lx // 2
+        zb = _auto_block_z(Zl, S, 4)
+        return zb
+
+    def _dslash_local(self, u_ext, psi_loc, parity, dagger, epilogue,
+                      flavor, psi0_loc=None):
+        """One halo exchange + one fused kernel call on a shard."""
+        from ..ops.dslash_pallas import dslash_eo_pallas
+        tn, zn = self.lmesh.nt, self.lmesh.nz
+        Tl, Zl = self.lmesh.local_dims
+        Zb = self._zb()
+        psi_ext = _exchange_t(psi_loc, tn)
+        psi_ext = _exchange_z(psi_ext, zn, Zb)
+        return dslash_eo_pallas(
+            u_ext, psi_ext, parity, self.lat, dagger=dagger,
+            epilogue=epilogue, kappa=self.kappa, mu=self.mu, flavor=flavor,
+            psi0_pk=psi0_loc, block_z=Zb, interpret=self.interpret,
+            local_dims=(Tl, Zl), halo_t=True, halo_z=True)
+
+    # --- shard_map plumbing ---------------------------------------------
+    def _smap(self, fn, n_spinor_in: int, has_gauge=True):
+        m = self.lmesh
+        specs_in = ([m.gauge_spec()] if has_gauge else []) + \
+            [m.spinor_spec()] * n_spinor_in
+        return jax.shard_map(fn, mesh=m.mesh, in_specs=tuple(specs_in),
+                             out_specs=m.spinor_spec(), check_vma=False)
+
+    def extend_gauge(self, u_pk: jax.Array) -> jax.Array:
+        """One-time gauge halo exchange; result feeds every apply."""
+        m = self.lmesh
+        Zb = self._zb()
+
+        def fn(u_loc):
+            return _exchange_gauge(u_loc, m.nt, m.nz, Zb)
+
+        return jax.shard_map(
+            fn, mesh=m.mesh, in_specs=(m.gauge_spec(),),
+            out_specs=m.gauge_spec(), check_vma=False)(u_pk)
+
+    def _apply(self, u_ext, psi_pk, dagger):
+        f = self.flavor if not dagger else -self.flavor
+
+        def fn(u_l, psi_l):
+            t1 = self._dslash_local(u_l, psi_l, EVEN, dagger, "twist_inv", f)
+            return self._dslash_local(u_l, t1, ODD, dagger, "xpay", f,
+                                      psi0_loc=psi_l)
+
+        return self._smap(fn, 1)(u_ext, psi_pk)
+
+    def apply(self, u_ext, psi_pk):
+        return self._apply(u_ext, psi_pk, dagger=False)
+
+    def apply_dagger(self, u_ext, psi_pk):
+        return self._apply(u_ext, psi_pk, dagger=True)
+
+    def normal(self, u_ext, psi_pk):
+        return self.apply_dagger(u_ext, self.apply(u_ext, psi_pk))
+
+    def prepare(self, u_ext, b_pk):
+        """b_pk [2(par), 2, 4, 3, T, Z, S] -> even source."""
+        from ..operators import twist_inv_apply_pk
+
+        def fn(u_l, be_l, bo_l):
+            t = twist_inv_apply_pk(bo_l, self.kappa, self.mu, self.flavor)
+            d = self._dslash_local(u_l, t, ODD, False, "none", self.flavor)
+            return be_l + jnp.asarray(self.kappa, be_l.dtype) * d
+
+        return self._smap(fn, 2)(u_ext, b_pk[0], b_pk[1])
+
+    def reconstruct(self, u_ext, x_e, b_pk):
+        from ..operators import twist_inv_apply_pk
+
+        def fn(u_l, xe_l, bo_l):
+            d = self._dslash_local(u_l, xe_l, EVEN, False, "none",
+                                   self.flavor)
+            t = bo_l + jnp.asarray(self.kappa, xe_l.dtype) * d
+            return twist_inv_apply_pk(t, self.kappa, self.mu, self.flavor)
+
+        x_o = self._smap(fn, 2)(u_ext, x_e, b_pk[1])
+        return jnp.stack([x_e, x_o], axis=0)
