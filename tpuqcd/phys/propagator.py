@@ -1,0 +1,108 @@
+"""Quark propagators: 12 spin-color solves -> per-site 12x12 tensor.
+
+The QKXTM_Propagator equivalent ([U] plugin propagator classes;
+SURVEY.md C21): S_{(alpha a),(beta b)}(x; x0) from 12 right-hand sides
+(one per source spin-color), each solved with the mixed-precision eo
+solver (tpuqcd.solve).  Sources can be point or Gaussian-smeared
+(phys/smear.py); sinks optionally smeared the same way.
+
+Layout notes: solves run in the packed eo device layout; the assembled
+propagator is returned in full site layout
+[T, Z, Y, X, 4(snk s), 3(snk c), 4(src s), 3(src c)] for the
+contraction layer.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import eo_to_full, full_to_eo
+from ..lattice import Lattice
+from ..ops.layout import spinor_from_device, spinor_to_device
+from ..solve import solve_tm
+from ..utils.packed import pack_spinor, unpack_spinor
+
+
+def full_to_packed(psi_full: jax.Array, lat: Lattice) -> jax.Array:
+    """[T,Z,Y,X,4,3] -> packed [2(par), 2(ri), 4, 3, T, Z, S]."""
+    eo = full_to_eo(psi_full, lat)
+    dev = spinor_to_device(eo, lat)          # [2, 4, 3, T, Z, S]
+    return jnp.stack([pack_spinor(dev[0]), pack_spinor(dev[1])])
+
+
+def packed_to_full(psi_pk: jax.Array, lat: Lattice) -> jax.Array:
+    dev = jnp.stack([unpack_spinor(psi_pk[0]), unpack_spinor(psi_pk[1])])
+    return eo_to_full(spinor_from_device(dev, lat), lat)
+
+
+def point_sources(lat: Lattice, pos: tuple[int, int, int, int],
+                  dtype=jnp.complex64) -> jax.Array:
+    """12 delta sources: [4(src s), 3(src c), T, Z, Y, X, 4, 3]."""
+    t, z, y, x = pos
+    src = np.zeros((4, 3, *lat.full_shape, 4, 3), dtype=np.complex64)
+    for s in range(4):
+        for c in range(3):
+            src[s, c, t, z, y, x, s, c] = 1.0
+    return jnp.asarray(src, dtype=dtype)
+
+
+def smear_sources(u_smear_pk_or_dev, sources: jax.Array, lat: Lattice,
+                  alpha: float, n_steps: int) -> jax.Array:
+    """Gaussian-smear each of the 12 sources (u = APE-smeared gauge in
+    complex device layout [4,2,3,3,T,Z,S])."""
+    from .smear import gaussian_smear
+    out = []
+    for s in range(4):
+        for c in range(3):
+            dev = spinor_to_device(full_to_eo(sources[s, c], lat), lat)
+            sm = gaussian_smear(u_smear_pk_or_dev, dev, lat, alpha, n_steps)
+            out.append(eo_to_full(spinor_from_device(sm, lat), lat))
+    out = jnp.stack(out)
+    return out.reshape(4, 3, *out.shape[1:])
+
+
+def compute_propagator(u_pk: jax.Array, sources: jax.Array, lat: Lattice, *,
+                       kappa: float, mu: float, flavor: int = +1,
+                       tol: float = 1e-8, solver: str = "cg",
+                       backend: str = "pallas", maxiter: int = 5000,
+                       verbose: bool = False) -> jax.Array:
+    """Solve M x = b for the 12 sources.
+
+    sources: [4, 3, T, Z, Y, X, 4, 3] (full layout per source component).
+    Returns S [T, Z, Y, X, 4, 3, 4, 3] (sink spin/color, source
+    spin/color), in complex64.
+    """
+    cols = []
+    for s in range(4):
+        for c in range(3):
+            b_pk = full_to_packed(sources[s, c], lat)
+            res = solve_tm(u_pk, b_pk, lat, kappa=kappa, mu=mu,
+                           flavor=flavor, tol=tol, solver=solver,
+                           backend=backend, maxiter=maxiter)
+            if verbose:
+                print(f"  prop col ({s},{c}): relres={float(res.relres):.2e}"
+                      f" iters={int(res.iters)}")
+            x_full = packed_to_full(res.x.astype(jnp.float32), lat)
+            cols.append(x_full)
+    cols = jnp.stack(cols)  # [12, T,Z,Y,X,4,3]
+    prop = cols.reshape(4, 3, *cols.shape[1:])
+    # -> [T,Z,Y,X, snk_s, snk_c, src_s, src_c]
+    return jnp.transpose(prop, (2, 3, 4, 5, 6, 7, 0, 1))
+
+
+def sink_smear_propagator(u_smear_dev, prop: jax.Array, lat: Lattice,
+                          alpha: float, n_steps: int) -> jax.Array:
+    """Gaussian-smear the sink index of a propagator."""
+    from .smear import gaussian_smear
+    cols = []
+    for s in range(4):
+        for c in range(3):
+            psi = prop[..., s, c]
+            dev = spinor_to_device(full_to_eo(psi, lat), lat)
+            sm = gaussian_smear(u_smear_dev, dev, lat, alpha, n_steps)
+            cols.append(eo_to_full(spinor_from_device(sm, lat), lat))
+    cols = jnp.stack(cols).reshape(4, 3, *prop.shape[:-2], 4, 3)
+    return jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
