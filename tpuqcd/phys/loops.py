@@ -1,0 +1,147 @@
+"""Stochastic disconnected quark loops: noise, one-end trick, TSM,
+low-mode (deflated) contributions.
+
+TPU-native equivalent of the QKXTM loop machinery
+([U] `calcMG_loops_w_One_Der_TSM_*`; SURVEY.md C26, §4.5).
+
+Estimators (full layout [T,Z,Y,X,4,3] fields, solves injected as
+functions so any solver backend plugs in):
+
+  plain:    L(q, O) = sum_x e^{-iq.x} Tr[O S_f(x, x)]
+            ~ E_eta[ sum_x e^{-iq.x} eta^dag(x) O (M_f^{-1} eta)(x) ]
+  one-end (isovector d-u combination, the TM variance trick):
+            sum_x e^{-iq.x} Tr[O (S_d - S_u)(x,x)]
+            = 4 i kappa mu E_eta[ sum_x e^{-iq.x}
+                                  psi^dag(x) O g5 psi(x) ],
+            psi = (M_d^dag)^{-1} eta = g5 M_u^{-1} g5 eta
+            (one inversion per noise; exact identity
+             S_d - S_u = 4 i kappa mu S_u g5 S_d tested vs dense).
+  TSM:      E[full] = E[trunc] + E[full - trunc]: many cheap truncated
+            solves + few bias-correction solves (SURVEY.md C26).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gammas import GAMMA5
+from ..lattice import Lattice
+from .contract import momentum_phases
+
+_G5D = np.real(np.diag(GAMMA5))
+
+
+def z4_noise(key: jax.Array, lat: Lattice, dtype=jnp.complex64) -> jax.Array:
+    """Z4 volume noise: entries in {1, i, -1, -i} (E[eta eta^dag] = 1)."""
+    k = jax.random.randint(key, (*lat.full_shape, 4, 3), 0, 4)
+    table = jnp.asarray([1 + 0j, 1j, -1 + 0j, -1j], dtype=dtype)
+    return table[k]
+
+
+def dilute_time(eta: jax.Array, t_class: int, n_classes: int) -> jax.Array:
+    """Time dilution: zero all timeslices with t % n_classes != t_class."""
+    T = eta.shape[0]
+    mask = (jnp.arange(T) % n_classes) == t_class
+    return eta * mask[:, None, None, None, None, None].astype(eta.dtype)
+
+
+def dilute_spin_color(eta: jax.Array, s: int, c: int) -> jax.Array:
+    out = jnp.zeros_like(eta)
+    return out.at[..., s, c].set(eta[..., s, c])
+
+
+def loop_plain(eta: jax.Array, psi: jax.Array, gammas: dict,
+               lat: Lattice, momenta: np.ndarray) -> dict:
+    """Single-noise estimate: {name: [n_mom, T]}; psi = M^{-1} eta."""
+    ph = jnp.asarray(momentum_phases(lat, momenta), dtype=psi.dtype)
+    out = {}
+    for name, g in gammas.items():
+        gm = jnp.asarray(g, dtype=psi.dtype)
+        dens = jnp.einsum("tzyxsc,su,tzyxuc->tzyx", jnp.conj(eta), gm, psi,
+                          optimize=True)
+        out[name] = jnp.einsum("nzyx,tzyx->nt", ph, dens)
+    return out
+
+
+def loop_one_end(psi: jax.Array, gammas: dict, lat: Lattice,
+                 momenta: np.ndarray, kappa: float, mu: float) -> dict:
+    """One-end single-noise estimate of the d-u loop:
+    psi = g5 M_u^{-1} g5 eta.  Returns {name: [n_mom, T]} already
+    including the 4 i kappa mu prefactor."""
+    ph = jnp.asarray(momentum_phases(lat, momenta), dtype=psi.dtype)
+    pref = jnp.asarray(4j * kappa * mu, dtype=psi.dtype)
+    g5 = jnp.asarray(_G5D, dtype=jnp.float32)
+    out = {}
+    for name, g in gammas.items():
+        gm = jnp.asarray(g, dtype=psi.dtype)
+        dens = jnp.einsum("tzyxsc,su,u,tzyxuc->tzyx", jnp.conj(psi), gm,
+                          g5, psi, optimize=True)
+        out[name] = pref * jnp.einsum("nzyx,tzyx->nt", ph, dens)
+    return out
+
+
+def loops_stochastic(solve_fn: Callable, keys, gammas: dict, lat: Lattice,
+                     momenta: np.ndarray, *, one_end: bool = False,
+                     kappa: float = 0.0, mu: float = 0.0,
+                     solve_fn_dag: Callable | None = None) -> dict:
+    """Average the single-noise estimators over noises.
+
+    solve_fn(b) = M^{-1} b; for one_end pass solve_fn_dag(b) =
+    (M_d^dag)^{-1} b = g5 M_u^{-1} g5 b.
+    """
+    acc = None
+    for key in keys:
+        eta = z4_noise(key, lat)
+        if one_end:
+            psi = solve_fn_dag(eta)
+            est = loop_one_end(psi, gammas, lat, momenta, kappa, mu)
+        else:
+            psi = solve_fn(eta)
+            est = loop_plain(eta, psi, gammas, lat, momenta)
+        if acc is None:
+            acc = est
+        else:
+            acc = {k: acc[k] + est[k] for k in acc}
+    n = len(keys)
+    return {k: v / n for k, v in acc.items()}
+
+
+def loops_tsm(solve_cheap: Callable, solve_full: Callable, keys_cheap,
+              keys_corr, gammas: dict, lat: Lattice,
+              momenta: np.ndarray) -> dict:
+    """Truncated-solver-method estimate:
+    E[full] ~= mean_cheap[trunc] + mean_corr[full - trunc]
+    (keys_corr must be disjoint from keys_cheap for unbiasedness of the
+    correction term)."""
+    cheap = loops_stochastic(solve_cheap, keys_cheap, gammas, lat, momenta)
+    corr_full = loops_stochastic(solve_full, keys_corr, gammas, lat,
+                                 momenta)
+    corr_cheap = loops_stochastic(solve_cheap, keys_corr, gammas, lat,
+                                  momenta)
+    return {k: cheap[k] + (corr_full[k] - corr_cheap[k]) for k in cheap}
+
+
+def loop_lowmode(evals: np.ndarray, evecs: jax.Array, apply_dag: Callable,
+                 gammas: dict, lat: Lattice, momenta: np.ndarray) -> dict:
+    """Exact low-mode loop part from eigenpairs of (M M^dag):
+
+    S(x,x) = [M^dag (M M^dag)^{-1}](x,x)
+           ~= sum_i (1/lambda_i) (M^dag v_i)(x) v_i(x)^dag
+    (deflation C27: the stochastic estimators then run on the deflated
+    operator and this piece is added back exactly)."""
+    ph = None
+    out = {name: 0.0 for name in gammas}
+    for lam, v in zip(np.asarray(evals), evecs):
+        w = apply_dag(v)     # M^dag v_i
+        for name, g in gammas.items():
+            gm = jnp.asarray(g, dtype=w.dtype)
+            dens = jnp.einsum("tzyxsc,su,tzyxuc->tzyx", jnp.conj(v), gm, w,
+                              optimize=True) / lam
+            if ph is None:
+                ph = jnp.asarray(momentum_phases(lat, momenta),
+                                 dtype=w.dtype)
+            out[name] = out[name] + jnp.einsum("nzyx,tzyx->nt", ph, dens)
+    return out
