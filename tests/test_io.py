@@ -51,3 +51,29 @@ def test_hdf5_twop(tmp_path):
                meta={"kappa": 0.12})
     back = read_dataset(p, "twop/proton/src00/mom_1_0_0")
     np.testing.assert_array_equal(back, corr[1])
+
+
+def test_native_ildg_ingest_matches_python(tmp_path):
+    """Native one-pass ILDG->packed ingest == the Python chain
+    (read + eo split + device layout + pack + boundary phase)."""
+    from tpuqcd.io.native import get_lib, ildg_payload_to_packed
+    if get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    import jax.numpy as jnp
+    from tpuqcd.fields import apply_boundary_phase
+    from tpuqcd.io.lime import read_lime
+    from tpuqcd.utils.packed import pack_gauge
+
+    p = str(tmp_path / "conf.ildg")
+    u = np.asarray(su3.random_gauge(jax.random.PRNGKey(7), LAT))
+    write_ildg_gauge(p, u, LAT)
+    payload = next(r for r in read_lime(p)
+                   if r.lime_type == "ildg-binary-data").data
+    got = ildg_payload_to_packed(payload, LAT, antiperiodic_t=True)
+    assert got is not None
+
+    u_bc = apply_boundary_phase(jnp.asarray(u), LAT)
+    want = np.asarray(pack_gauge(gauge_to_device(
+        gauge_full_to_eo(u_bc, LAT), LAT)))
+    np.testing.assert_allclose(got, want, atol=2e-7)

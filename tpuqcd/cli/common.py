@@ -1,0 +1,155 @@
+"""Shared CLI plumbing: gauge setup, operator/MG assembly, logging.
+
+The equivalent of the reference's main-program scaffolding
+(`programs/CalcMG_*.cpp` + tests/utils flag parsing [U]; SURVEY.md C30):
+every executable loads a YAML RunConfig and goes through setup() here.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger("tpuqcd")
+
+
+def parse_args(description: str):
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("--config", required=True, help="YAML run config")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--device", default=None,
+                    help="cpu to force the CPU backend")
+    args = ap.parse_args()
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stdout)
+    if args.device == "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    from ..utils.config import load_config
+    return load_config(args.config), args
+
+
+def setup_gauge(cfg):
+    """Load or generate the gauge field; returns (lat, u_full, u_pk,
+    u_dev_complex)."""
+    from .. import su3
+    from ..fields import apply_boundary_phase, gauge_full_to_eo
+    from ..io.lime import read_ildg_gauge
+    from ..lattice import Lattice
+    from ..ops.gauge_tools import plaquette
+    from ..ops.layout import gauge_to_device
+    from ..utils.packed import pack_gauge
+
+    if cfg.gauge.config_file:
+        u_np, lat = read_ildg_gauge(cfg.gauge.config_file)
+        u_full = jnp.asarray(u_np)
+        log.info("loaded gauge %s dims=%s", cfg.gauge.config_file, lat.dims)
+    else:
+        lat = Lattice(tuple(cfg.gauge.dims))
+        u_full = su3.random_gauge(
+            jax.random.PRNGKey(cfg.gauge.random_seed), lat)
+        log.info("generated random gauge dims=%s seed=%d", lat.dims,
+                 cfg.gauge.random_seed)
+    u_dev = gauge_to_device(gauge_full_to_eo(u_full, lat), lat)
+    plaq = float(plaquette(u_dev, lat))
+    log.info("plaquette = %.8f", plaq)
+    if cfg.gauge.plaquette_check is not None:
+        if abs(plaq - cfg.gauge.plaquette_check) > 1e-5:
+            raise RuntimeError(
+                f"plaquette check failed: {plaq} != "
+                f"{cfg.gauge.plaquette_check}")
+    u_full_bc = apply_boundary_phase(u_full, lat,
+                                     cfg.gauge.antiperiodic_t)
+    u_dev_bc = gauge_to_device(gauge_full_to_eo(u_full_bc, lat), lat)
+    u_pk = pack_gauge(u_dev_bc)
+    return lat, u_full_bc, u_pk, u_dev_bc
+
+
+def smeared_gauge(cfg, lat, u_dev):
+    """APE-smeared gauge for Gaussian smearing (no boundary phase)."""
+    from ..ops.gauge_tools import ape_smear
+    if cfg.physics.smear_n_ape <= 0:
+        return u_dev
+    log.info("APE smearing: alpha=%.3f n=%d", cfg.physics.smear_alpha_ape,
+             cfg.physics.smear_n_ape)
+    return ape_smear(u_dev, lat, alpha=cfg.physics.smear_alpha_ape,
+                     n_steps=cfg.physics.smear_n_ape)
+
+
+def make_solver(cfg, lat, u_pk, u_full):
+    """Returns solve(b_full [T,Z,Y,X,4,3], flavor) -> x_full, honoring
+    the MG config (MG-preconditioned full-system solve) or the eo
+    mixed-precision path."""
+    from ..phys.propagator import full_to_packed, packed_to_full
+    from ..solve import solve_tm
+    from ..utils.profile import solve_flops
+
+    sloppy = (jnp.bfloat16 if cfg.solver.sloppy_dtype == "bfloat16"
+              else jnp.float32)
+
+    if cfg.mg.enabled:
+        from ..mg.level import FineTMLevel
+        from ..mg.vcycle import MG, MGParams
+        from ..utils.checkpoint import load_mg, save_mg
+        params = MGParams(n_vec=tuple(cfg.mg.n_vec),
+                          block=tuple(cfg.mg.block),
+                          setup_iters=cfg.mg.setup_iters,
+                          smoother_iters=cfg.mg.smoother_iters,
+                          coarse_tol=cfg.mg.coarse_tol,
+                          coarse_maxiter=cfg.mg.coarse_maxiter,
+                          mu_factor=cfg.mg.mu_factor)
+        mgs = {}
+        for flavor in (+1, -1):
+            lv = FineTMLevel(lat, u_full, kappa=cfg.action.kappa,
+                             mu=cfg.action.mu, flavor=flavor)
+            if cfg.mg.vec_infile:
+                mg = load_mg(f"{cfg.mg.vec_infile}.f{flavor:+d}.npz", lv,
+                             params)
+                log.info("MG hierarchy loaded (flavor %+d)", flavor)
+            else:
+                log.info("MG setup (flavor %+d)...", flavor)
+                mg = MG(lv, params)
+                if cfg.mg.vec_outfile:
+                    save_mg(f"{cfg.mg.vec_outfile}.f{flavor:+d}.npz", mg)
+            mgs[flavor] = (lv, mg)
+
+        def solve(b_full, flavor=+1):
+            lv, mg = mgs[flavor]
+            lv_hp = FineTMLevel(lat, u_full.astype(jnp.complex128),
+                                kappa=cfg.action.kappa, mu=cfg.action.mu,
+                                flavor=flavor)
+            b12 = b_full.reshape(*lat.full_shape, 12)
+            x, rel, iters = mg.solve_certified(
+                b12, lambda v: lv_hp.apply(v), tol=cfg.solver.tol,
+                inner_tol=1e-5)
+            log.info("  mg solve: relres=%.2e iters=%d", rel, iters)
+            return x.reshape(*lat.full_shape, 4, 3).astype(jnp.complex64)
+
+        return solve
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def _solve_jit(u_pk_, b_pk, flavor):
+        res = solve_tm(u_pk_, b_pk, lat, kappa=cfg.action.kappa,
+                       mu=cfg.action.mu, flavor=flavor,
+                       tol=cfg.solver.tol, maxiter=cfg.solver.maxiter,
+                       inner_tol=cfg.solver.inner_tol,
+                       solver=cfg.solver.solver, sloppy_dtype=sloppy,
+                       backend=cfg.solver.backend)
+        x_pk = packed_to_full(res.x.astype(jnp.float32), lat)
+        return x_pk, res.relres, res.iters
+
+    def solve(b_full, flavor=+1):
+        b_pk = full_to_packed(b_full, lat)
+        x, relres, iters = _solve_jit(u_pk, b_pk, int(flavor))
+        log.info("  solve: relres=%.2e iters=%d", float(relres),
+                 int(iters))
+        return x
+
+    return solve

@@ -1,0 +1,105 @@
+"""Disconnected-loop production run (config 5 disconnected part).
+
+The CalcMG_loops_w_oneD_TSM equivalent ([U]
+programs/CalcMG_loops_w_oneD_TSM_MG.cpp; SURVEY.md §4.5): optional
+Lanczos deflation -> Z4 noise vectors -> (deflated / truncated) solves ->
+one-end + plain loop estimators for the 16 ultra-local insertions ->
+HDF5.
+
+    python -m tpuqcd.cli.run_loops --config examples/loops.yaml
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .common import log, make_solver, parse_args, setup_gauge
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ..gammas import GAMMA5, INSERTION_GAMMAS
+    from ..io.hdf5io import write_loops
+    from ..phys.loops import loops_stochastic, loops_tsm
+    from ..operators import TMOperator
+
+    cfg, args = parse_args(__doc__)
+    lat, u_full, u_pk, u_dev = setup_gauge(cfg)
+    solve = make_solver(cfg, lat, u_pk, u_full)
+    momenta = np.asarray(cfg.physics.momenta)
+    g5d = np.real(np.diag(GAMMA5))
+
+    def solve_u(b):
+        return solve(b, flavor=+1)
+
+    def solve_ddag(b):
+        gb = b * jnp.asarray(g5d, b.dtype)[:, None]
+        x = solve_u(gb)
+        return x * jnp.asarray(g5d, x.dtype)[:, None]
+
+    # optional deflation of the solves (exact low-mode part separately)
+    low = None
+    if cfg.physics.n_deflate > 0:
+        from ..solvers.lanczos import lanczos_lowest
+        from ..phys.loops import loop_lowmode
+        m_d = TMOperator(lat, kappa=cfg.action.kappa, mu=cfg.action.mu,
+                         flavor=-1)
+
+        def apply_mmdag(v):
+            sc = v.reshape(*lat.full_shape, 4, 3)
+            w = m_d.apply_dagger(u_full, sc)
+            return m_d.apply(u_full, w).reshape(v.shape)
+
+        log.info("Lanczos deflation: %d modes", cfg.physics.n_deflate)
+        v0 = jax.random.normal(jax.random.PRNGKey(9),
+                               (*lat.full_shape, 4, 3)).astype(jnp.complex64)
+        evals, evecs = lanczos_lowest(
+            apply_mmdag, v0, cfg.physics.n_deflate,
+            n_iter=max(40, 3 * cfg.physics.n_deflate))
+        evecs = [v.reshape(*lat.full_shape, 4, 3) for v in evecs]
+
+        def apply_mdag(v):
+            return m_d.apply_dagger(u_full, v)
+
+        low = loop_lowmode(evals, evecs, apply_mdag, INSERTION_GAMMAS,
+                           lat, momenta)
+        log.info("exact low-mode loop part done")
+
+    keys = list(jax.random.split(jax.random.PRNGKey(17),
+                                 cfg.physics.n_noise))
+    if cfg.physics.tsm_cheap > 0:
+        # TSM: cheap truncated solves + bias correction
+        from ..phys.propagator import full_to_packed, packed_to_full
+        from ..solve import solve_tm
+
+        def solve_cheap(b):
+            b_pk = full_to_packed(b, lat)
+            res = solve_tm(u_pk, b_pk, lat, kappa=cfg.action.kappa,
+                           mu=cfg.action.mu, tol=1e-3,
+                           maxiter=cfg.physics.tsm_maxiter_cheap,
+                           backend=cfg.solver.backend)
+            return packed_to_full(res.x.astype(jnp.float32), lat)
+
+        keys_cheap = list(jax.random.split(
+            jax.random.PRNGKey(23), cfg.physics.tsm_cheap))
+        est = loops_tsm(solve_cheap, solve_u, keys_cheap, keys,
+                        INSERTION_GAMMAS, lat, momenta)
+    else:
+        est = loops_stochastic(
+            None, keys, INSERTION_GAMMAS, lat, momenta, one_end=True,
+            kappa=cfg.action.kappa, mu=cfg.action.mu,
+            solve_fn_dag=solve_ddag)
+
+    names = list(est.keys())
+    arr = np.stack([np.asarray(est[k]) for k in names])
+    write_loops(cfg.physics.output, "loops/oneend", arr, names,
+                meta={"n_noise": cfg.physics.n_noise,
+                      "kappa": cfg.action.kappa, "mu": cfg.action.mu})
+    if low is not None:
+        arr_low = np.stack([np.asarray(low[k]) for k in names])
+        write_loops(cfg.physics.output, "loops/lowmode", arr_low, names)
+    log.info("wrote loops -> %s", cfg.physics.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Nucleon two- + three-point production run (config 5 connected part).
+
+The CalcMG_threepTwop equivalent ([U] programs/CalcMG_threepTwop.cpp;
+SURVEY.md §4.1): forward props -> 2pt -> per (t_sink, projector, flavor)
+sequential sources -> backward props -> ultra-local + one-derivative
+insertions -> HDF5.
+
+    python -m tpuqcd.cli.run_threeptwop --config examples/threep.yaml
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .common import log, make_solver, parse_args, setup_gauge, smeared_gauge
+
+PROJ_TABLE = None
+
+
+def main():
+    import jax.numpy as jnp
+    from ..gammas import (GAMMA5, INSERTION_GAMMAS, PARITY_MINUS,
+                          PARITY_PLUS)
+    from ..io.hdf5io import write_threep, write_twop
+    from ..phys.contract import meson_2pt, proton_2pt
+    from ..phys.propagator import point_sources, smear_sources
+    from ..phys.threep import (backward_prop, proton_seq_source,
+                               threep_one_derivative, threep_ultralocal)
+
+    cfg, args = parse_args(__doc__)
+    lat, u_full, u_pk, u_dev = setup_gauge(cfg)
+    u_sm = smeared_gauge(cfg, lat, u_dev)
+    solve = make_solver(cfg, lat, u_pk, u_full)
+    momenta = np.asarray(cfg.physics.momenta)
+    projs = {"P+": PARITY_PLUS, "P-": PARITY_MINUS}
+
+    for src in cfg.physics.source_positions:
+        log.info("source %s", src)
+        srcs = point_sources(lat, tuple(src))
+        if cfg.physics.smear_n_gauss > 0:
+            srcs = smear_sources(u_sm, srcs, lat,
+                                 cfg.physics.smear_alpha_gauss,
+                                 cfg.physics.smear_n_gauss)
+        props = {}
+        for name, flavor in (("u", +1), ("d", -1)):
+            log.info(" forward props flavor %s", name)
+            cols = []
+            for s in range(4):
+                for c in range(3):
+                    cols.append(solve(srcs[s, c], flavor=flavor))
+            cols = jnp.stack(cols).reshape(4, 3, *lat.full_shape, 4, 3)
+            props[name] = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
+
+        tag = f"sx{src[3]}sy{src[2]}sz{src[1]}st{src[0]}"
+        for pname in cfg.physics.projectors:
+            c2 = proton_2pt(props["u"], props["d"], lat, momenta,
+                            src_pos=tuple(src), proj=projs[pname])
+            write_twop(cfg.physics.output, f"twop/proton/{pname}/{tag}",
+                       np.asarray(c2), momenta, src)
+
+        for t_sink in cfg.physics.t_sinks:
+            for pname in cfg.physics.projectors:
+                for leg, flip in (("u", -1), ("d", +1)):
+                    log.info(" seq source tsink=%d proj=%s leg=%s",
+                             t_sink, pname, leg)
+                    seq = proton_seq_source(props["u"], props["d"],
+                                            t_sink, leg, lat,
+                                            proj=projs[pname])
+                    bwd = backward_prop(
+                        seq, lambda b: solve(b, flavor=flip))
+                    c3 = threep_ultralocal(bwd, props[leg],
+                                           INSERTION_GAMMAS, lat, momenta,
+                                           src_pos=tuple(src))
+                    names = list(c3.keys())
+                    arr = np.stack([np.asarray(c3[k]) for k in names])
+                    write_threep(cfg.physics.output,
+                                 f"threep/proton/{pname}/{leg}/{tag}",
+                                 arr, momenta, names, src, t_sink)
+                    # one-derivative insertions gamma_mu D_nu
+                    dnames, dcorrs = [], []
+                    for mu_ in range(4):
+                        for nu_ in range(4):
+                            c3d = threep_one_derivative(
+                                bwd, props[leg], u_full, mu_, nu_, lat,
+                                momenta, src_pos=tuple(src))
+                            dnames.append(f"der_g{mu_}_D{nu_}")
+                            dcorrs.append(np.asarray(c3d))
+                    write_threep(cfg.physics.output,
+                                 f"threep_der/proton/{pname}/{leg}/{tag}",
+                                 np.stack(dcorrs), momenta, dnames, src,
+                                 t_sink)
+        log.info("wrote 2pt+3pt for %s -> %s", tag, cfg.physics.output)
+
+
+if __name__ == "__main__":
+    main()

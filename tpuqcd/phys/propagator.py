@@ -104,5 +104,5 @@ def sink_smear_propagator(u_smear_dev, prop: jax.Array, lat: Lattice,
             dev = spinor_to_device(full_to_eo(psi, lat), lat)
             sm = gaussian_smear(u_smear_dev, dev, lat, alpha, n_steps)
             cols.append(eo_to_full(spinor_from_device(sm, lat), lat))
-    cols = jnp.stack(cols).reshape(4, 3, *prop.shape[:-2], 4, 3)
+    cols = jnp.stack(cols).reshape(4, 3, *prop.shape[:4], 4, 3)
     return jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
