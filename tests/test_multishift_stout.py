@@ -1,0 +1,51 @@
+"""Multi-shift CG and stout smearing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuqcd import su3
+from tpuqcd.fields import apply_boundary_phase_dev, random_spinor_dev
+from tpuqcd.lattice import Lattice
+from tpuqcd.operators import PackedTMOperatorPC
+from tpuqcd.solvers.multishift import multishift_cg
+from tpuqcd.solvers.reductions import norm2
+from tpuqcd.utils.packed import pack_gauge
+
+LAT = Lattice((4, 4, 4, 8))
+
+
+def test_multishift_cg():
+    """each shifted system solved to tolerance with ONE Krylov space."""
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), LAT), LAT)
+    u_pk = pack_gauge(u)
+    pc = PackedTMOperatorPC(LAT, kappa=0.115, mu=0.08, backend="xla")
+
+    def normal(x):
+        return pc.apply_dagger(u_pk, pc.apply(u_pk, x))
+
+    b = random_spinor_dev(jax.random.PRNGKey(1), LAT, parities=1)
+    b_pk = jnp.stack([jnp.real(b), jnp.imag(b)]).astype(jnp.float32)
+    shifts = [0.0, 0.05, 0.2]
+    res = multishift_cg(normal, b_pk, shifts, tol=1e-6, maxiter=600)
+    for i, s in enumerate(shifts):
+        r = b_pk - (normal(res.xs[i]) +
+                    jnp.float32(s) * res.xs[i])
+        rel = float(jnp.sqrt(norm2(r) / norm2(b_pk)))
+        assert rel < 2e-5, (i, s, rel)
+
+
+def test_stout_smearing():
+    from tpuqcd.ops.gauge_tools import plaquette, stout_smear
+    u = su3.random_gauge_dev(jax.random.PRNGKey(3), LAT)
+    p0 = float(plaquette(u, LAT))
+    us = stout_smear(u, LAT, rho=0.1, n_steps=2)
+    p1 = float(plaquette(us, LAT))
+    assert p1 > p0 + 0.05, (p0, p1)
+    # links stay in SU(3) (exp of traceless-Hermitian is SU(3))
+    m = np.asarray(us[0, 0]).reshape(3, 3, -1).transpose(2, 0, 1)
+    np.testing.assert_allclose(m @ m.conj().transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), m.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(m), np.ones(len(m)),
+                               atol=1e-5)

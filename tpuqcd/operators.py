@@ -301,6 +301,43 @@ class TMCloverOperatorPC:
         return jnp.stack([x_e, x_o], axis=0)
 
 
+@dataclasses.dataclass(frozen=True)
+class NdegTMOperator:
+    """Non-degenerate twisted-mass doublet (heavy s/c pair).
+
+    The reference's dslash_ndeg_twisted_mass ([U]; SURVEY.md C5): on a
+    flavor doublet chi = (chi_1, chi_2) (fields [2(flavor), T,Z,Y,X,4,3]),
+
+        M_nd = 1 + 2 i kappa mubar g5 tau3 + 2 kappa epsbar tau1 - kappa D
+
+    with tau acting on flavor.  gamma5 tau1-Hermiticity:
+    (g5 tau1) M_nd (g5 tau1) = M_nd^dag (tested).
+    """
+    lat: Lattice
+    kappa: float
+    mubar: float
+    epsbar: float
+
+    def apply(self, u: jax.Array, chi: jax.Array) -> jax.Array:
+        k = self.kappa
+        t1 = twist_apply(chi[0], k, self.mubar, +1) \
+            + (2.0 * k * self.epsbar) * chi[1] \
+            - k * dslash_full(u, chi[0])
+        t2 = twist_apply(chi[1], k, self.mubar, -1) \
+            + (2.0 * k * self.epsbar) * chi[0] \
+            - k * dslash_full(u, chi[1])
+        return jnp.stack([t1, t2])
+
+    def apply_dagger(self, u: jax.Array, chi: jax.Array) -> jax.Array:
+        # M^dag = (g5 tau1) M (g5 tau1)
+        g = jnp.stack([gamma5_apply(chi[1]), gamma5_apply(chi[0])])
+        mg = self.apply(u, g)
+        return jnp.stack([gamma5_apply(mg[1]), gamma5_apply(mg[0])])
+
+    def normal(self, u: jax.Array, chi: jax.Array) -> jax.Array:
+        return self.apply_dagger(u, self.apply(u, chi))
+
+
 # --- packed-real (ri-leading) twist helpers: psi [2, 4, 3, T, Z, S] --------
 
 def twist_apply_pk(psi_pk: jax.Array, kappa: float, mu: float,

@@ -104,3 +104,46 @@ def ape_smear(u_dev: jax.Array, lat: Lattice, alpha: float = 0.5,
     def body(i, u):
         return ape_smear_step(u, lat, alpha=alpha, spatial_only=spatial_only)
     return jax.lax.fori_loop(0, n_steps, body, u_dev)
+
+
+def stout_smear_step(u_dev: jax.Array, lat: Lattice, rho: float = 0.1,
+                     spatial_only: bool = False) -> jax.Array:
+    """One stout (analytic SU(3) exponential) smearing step
+    (reference gauge_stout.cu [U]):
+      Omega = rho * C U^dag; Q = (i/2)(Omega^dag - Omega)
+              - (i/6) tr(Omega^dag - Omega);  U' = exp(iQ) U.
+    exp(iQ) via a converged power series on the traceless-Hermitian Q
+    (||rho C U|| is O(1); 16 terms reach fp32 roundoff).
+    """
+    dirs = (0, 1, 2) if spatial_only else (0, 1, 2, 3)
+    out = []
+    for mu in range(4):
+        if spatial_only and mu == 3:
+            out.append(u_dev[3])
+            continue
+        pars = []
+        for p in (0, 1):
+            c = _staple_sum(u_dev, mu, p, dirs, lat)
+            omega = rho * mat3.mul(c, u_dev[mu, p], bdag=True)
+            anti = mat3.dag(omega) - omega
+            q = 0.5j * anti
+            tr = mat3.trace(q) / 3.0
+            eye = mat3.eye_like(q)
+            q = q - tr * eye   # traceless Hermitian
+            # exp(iQ) power series
+            iq = 1j * q
+            term = eye
+            acc = eye
+            for k in range(1, 17):
+                term = mat3.mul(term, iq) / k
+                acc = acc + term
+            pars.append(mat3.mul(acc, u_dev[mu, p]))
+        out.append(jnp.stack(pars))
+    return jnp.stack(out)
+
+
+def stout_smear(u_dev: jax.Array, lat: Lattice, rho: float = 0.1,
+                n_steps: int = 3, spatial_only: bool = False) -> jax.Array:
+    def body(i, u):
+        return stout_smear_step(u, lat, rho=rho, spatial_only=spatial_only)
+    return jax.lax.fori_loop(0, n_steps, body, u_dev)

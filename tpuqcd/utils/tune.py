@@ -1,0 +1,101 @@
+"""Kernel autotuner with persistent on-disk cache.
+
+The reference brute-force tunes launch geometry per kernel+volume and
+caches to tunecache.tsv under QUDA_RESOURCE_PATH ([U] lib/tune.cpp;
+SURVEY.md C14/X1).  On TPU, XLA owns most scheduling; what remains
+tunable is the Pallas block decomposition (block_z of the Dslash
+kernel).  Candidates are timed once per (lattice, dtype, device) and the
+winner is cached as JSON under $TPUQCD_RESOURCE_PATH (default
+~/.cache/tpuqcd).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..lattice import Lattice
+
+
+def _cache_path() -> str:
+    d = os.environ.get("TPUQCD_RESOURCE_PATH",
+                       os.path.expanduser("~/.cache/tpuqcd"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "tunecache.json")
+
+
+def _load() -> dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _store(cache: dict) -> None:
+    with open(_cache_path(), "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+
+
+def tune_dslash_block_z(lat: Lattice, dtype=jnp.float32,
+                        niter: int = 20, force: bool = False) -> int:
+    """Time the Dslash over the legal block_z candidates; cache the best."""
+    from .. import su3
+    from ..fields import apply_boundary_phase_dev, random_spinor_dev
+    from ..ops.dslash_pallas import _auto_block_z, dslash_eo_pallas
+    from ..utils.packed import pack_gauge, pack_spinor
+
+    dev = jax.devices()[0]
+    key = f"dslash_eo/{lat.dims}/{jnp.dtype(dtype).name}/{dev.device_kind}"
+    cache = _load()
+    if key in cache and not force:
+        return int(cache[key]["block_z"])
+
+    S = lat.Ly * lat.Lx // 2
+    zmax = _auto_block_z(lat.Lz, S, jnp.dtype(dtype).itemsize)
+    cands = []
+    zb = zmax
+    while zb >= 8 or zb == lat.Lz:
+        if lat.Lz % zb == 0:
+            cands.append(zb)
+        if zb == 1:
+            break
+        zb //= 2
+    if not cands:
+        cands = [zmax]
+
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
+    psi = random_spinor_dev(jax.random.PRNGKey(1), lat, parities=1)
+    u_pk = pack_gauge(u, dtype=dtype)
+    psi_pk = pack_spinor(psi, dtype=dtype)
+
+    results = {}
+    for zb in cands:
+        @jax.jit
+        def chain(u_a, p, zb=zb):
+            def body(i, x):
+                return dslash_eo_pallas(u_a, x, 0, lat, block_z=zb)
+            x = jax.lax.fori_loop(0, niter, body, p)
+            return jnp.real(jnp.ravel(x)[0])
+        try:
+            float(chain(u_pk, psi_pk))  # compile + smoke
+            best = 1e30
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(chain(u_pk, psi_pk))
+                best = min(best, time.perf_counter() - t0)
+            results[zb] = best / niter
+        except Exception:
+            continue
+    if not results:
+        return zmax
+    winner = min(results, key=results.get)
+    cache[key] = {"block_z": winner,
+                  "us_per_apply": {str(k): round(v * 1e6, 2)
+                                   for k, v in results.items()}}
+    _store(cache)
+    return int(winner)
