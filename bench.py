@@ -38,9 +38,14 @@ def best_dslash(lat, u, psi):
         from tpuqcd.ops.dslash_pallas import dslash_eo_pallas
         from tpuqcd.utils.packed import pack_gauge, pack_spinor
         u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+        try:
+            from tpuqcd.utils.tune import tune_dslash_block_z
+            zb = tune_dslash_block_z(lat)
+        except Exception:
+            zb = None
 
         def ds(u_a, p):
-            return dslash_eo_pallas(u_a, p, 0, lat)
+            return dslash_eo_pallas(u_a, p, 0, lat, block_z=zb)
         jax.block_until_ready(ds(u_pk, psi_pk))  # smoke-run before claiming
         return "pallas", ds, u_pk, psi_pk
     except Exception:

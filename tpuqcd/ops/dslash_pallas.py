@@ -49,7 +49,9 @@ def _auto_block_z(Z: int, S: int, itemsize: int,
     when blocked zb+-1) 5 x 24 x 2, gauge 144 x 2 + halo slices, out 24
     x 2, psi0 24 x 2 => ~700 x S x itemsize bytes.
     """
-    per_row = 700 * S * itemsize
+    # the kernel upcasts blocks to f32 internally, so VMEM pressure is
+    # bounded by the f32 footprint even for bf16 storage
+    per_row = 700 * S * max(itemsize, 4)
     zb = Z
     while zb > 1 and (zb * per_row > vmem_budget or Z % zb != 0):
         zb //= 2
