@@ -72,3 +72,24 @@ def test_ape_smear():
                                np.broadcast_to(np.eye(3), m.shape),
                                atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(m), np.ones(len(m)), atol=1e-5)
+
+
+def test_gauge_fixing_landau():
+    """Overrelaxed Landau gauge fixing monotonically raises the gauge
+    functional, leaves the plaquette invariant, and keeps links SU(3)."""
+    from tpuqcd.ops.gauge_fix import gauge_fix
+    u = _u()
+    p0 = float(plaquette(u, LAT))
+    uf, hist = gauge_fix(u, LAT, n_sweeps=40, tol=1e-12)
+    assert len(hist) > 3
+    # functional increases overall and ends higher than start
+    assert hist[-1] > hist[0]
+    # gauge-invariant observable unchanged (up to f32 roundoff from ~80
+    # successive SU(3) projections)
+    p1 = float(plaquette(uf, LAT))
+    assert abs(p1 - p0) < 3e-4, (p0, p1)
+    # SU(3) preserved
+    m = np.asarray(uf[0, 0]).reshape(3, 3, -1).transpose(2, 0, 1)
+    np.testing.assert_allclose(m @ m.conj().transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), m.shape),
+                               atol=2e-5)
