@@ -99,12 +99,14 @@ def test_stochastic_loops_converge():
         x = solve_u(gb)
         return x * jnp.asarray(g5, x.dtype)[:, None]
 
-    keys = list(jax.random.split(jax.random.PRNGKey(3), 192))
+    keys = list(jax.random.split(jax.random.PRNGKey(3), 384))
     est = loops_stochastic(solve_u, keys, {"g5": GAMMA5}, LAT, MOM)
     want = _exact_loop(su_inv, GAMMA5)
     got = np.asarray(est["g5"])[0]
-    scale = np.abs(want).max()
-    assert np.abs(got - want).max() < 0.35 * scale, (got, want)
+    # statistical check: the estimator noise per timeslice is O(1) per
+    # noise vector; with N noises demand agreement within ~5 sigma
+    sigma = 3.0 / np.sqrt(len(keys))
+    assert np.abs(got - want).max() < 5 * sigma, (got, want, sigma)
 
     # one-end with COMPLETE dilution (noise = full dof basis): the
     # estimator is then deterministic and must equal the exact loop —

@@ -28,8 +28,11 @@ def parse_args(description: str):
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
         stream=sys.stdout)
-    if args.device == "cpu":
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    # CLI policy: eager/physics/analysis code runs on the host CPU; the
+    # jitted solver runs on the accelerator via explicitly device_put
+    # inputs.  (Full-layout complex arrays cannot materialize on the axon
+    # TPU backend, so the default device must be the CPU.)
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
     from ..utils.config import load_config
     return load_config(args.config), args
 
@@ -45,17 +48,23 @@ def setup_gauge(cfg):
     from ..ops.layout import gauge_to_device
     from ..utils.packed import pack_gauge
 
-    if cfg.gauge.config_file:
-        u_np, lat = read_ildg_gauge(cfg.gauge.config_file)
-        u_full = jnp.asarray(u_np)
-        log.info("loaded gauge %s dims=%s", cfg.gauge.config_file, lat.dims)
-    else:
-        lat = Lattice(tuple(cfg.gauge.dims))
-        u_full = su3.random_gauge(
-            jax.random.PRNGKey(cfg.gauge.random_seed), lat)
-        log.info("generated random gauge dims=%s seed=%d", lat.dims,
-                 cfg.gauge.random_seed)
-    u_dev = gauge_to_device(gauge_full_to_eo(u_full, lat), lat)
+    # full-layout complex arrays (trailing (3,3)) cannot even materialize
+    # on the axon TPU backend — build them on the host CPU; only the
+    # device-layout forms (site-minor trailing dims) go to the TPU.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if cfg.gauge.config_file:
+            u_np, lat = read_ildg_gauge(cfg.gauge.config_file)
+            u_full = jnp.asarray(u_np)
+            log.info("loaded gauge %s dims=%s", cfg.gauge.config_file,
+                     lat.dims)
+        else:
+            lat = Lattice(tuple(cfg.gauge.dims))
+            u_full = su3.random_gauge(
+                jax.random.PRNGKey(cfg.gauge.random_seed), lat)
+            log.info("generated random gauge dims=%s seed=%d", lat.dims,
+                     cfg.gauge.random_seed)
+        u_dev = gauge_to_device(gauge_full_to_eo(u_full, lat), lat)
     plaq = float(plaquette(u_dev, lat))
     log.info("plaquette = %.8f", plaq)
     if cfg.gauge.plaquette_check is not None:
@@ -63,10 +72,12 @@ def setup_gauge(cfg):
             raise RuntimeError(
                 f"plaquette check failed: {plaq} != "
                 f"{cfg.gauge.plaquette_check}")
-    u_full_bc = apply_boundary_phase(u_full, lat,
-                                     cfg.gauge.antiperiodic_t)
-    u_dev_bc = gauge_to_device(gauge_full_to_eo(u_full_bc, lat), lat)
-    u_pk = pack_gauge(u_dev_bc)
+    with jax.default_device(cpu):
+        u_full_bc = apply_boundary_phase(u_full, lat,
+                                         cfg.gauge.antiperiodic_t)
+        u_dev_bc = gauge_to_device(gauge_full_to_eo(u_full_bc, lat), lat)
+        u_pk_host = pack_gauge(u_dev_bc)
+    u_pk = jax.device_put(u_pk_host, jax.devices()[0])
     return lat, u_full_bc, u_pk, u_dev_bc
 
 
@@ -142,14 +153,20 @@ def make_solver(cfg, lat, u_pk, u_full):
                        inner_tol=cfg.solver.inner_tol,
                        solver=cfg.solver.solver, sloppy_dtype=sloppy,
                        backend=cfg.solver.backend)
-        x_pk = packed_to_full(res.x.astype(jnp.float32), lat)
-        return x_pk, res.relres, res.iters
+        # return PACKED (f32 pairs): full-layout complex outputs cannot
+        # materialize on the axon TPU backend (small trailing dims)
+        return res.x.astype(jnp.float32), res.relres, res.iters
+
+    cpu = jax.devices("cpu")[0]
 
     def solve(b_full, flavor=+1):
-        b_pk = full_to_packed(b_full, lat)
-        x, relres, iters = _solve_jit(u_pk, b_pk, int(flavor))
+        with jax.default_device(cpu):
+            b_pk = full_to_packed(b_full, lat)
+        b_pk = jax.device_put(b_pk, jax.devices()[0])
+        x_pk, relres, iters = _solve_jit(u_pk, b_pk, int(flavor))
         log.info("  solve: relres=%.2e iters=%d", float(relres),
                  int(iters))
-        return x
+        with jax.default_device(cpu):
+            return packed_to_full(jax.device_put(x_pk, cpu), lat)
 
     return solve

@@ -24,6 +24,8 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.cplx import ceinsum
 import numpy as np
 
 from ..gammas import GAMMA5, PROJ_MINUS, PROJ_PLUS
@@ -89,11 +91,13 @@ class FineTMLevel:
         if sign == +1:
             pm = jnp.asarray(PROJ_MINUS[mu], dtype=psi.dtype)
             nb = jnp.roll(psi, -1, axis=ax)
-            out = jnp.einsum("ab,tzyxij,tzyxbj->tzyxai", pm, self.u[mu], nb)
+            upsi = ceinsum("tzyxij,tzyxbj->tzyxbi", self.u[mu], nb)
+            out = ceinsum("ab,tzyxbi->tzyxai", jnp.asarray(pm), upsi)
         else:
             pp = jnp.asarray(PROJ_PLUS[mu], dtype=psi.dtype)
-            g = jnp.einsum("ab,tzyxji,tzyxbj->tzyxai", pp,
+            upsi = ceinsum("tzyxji,tzyxbj->tzyxbi",
                            jnp.conj(self.u[mu]), psi)
+            g = ceinsum("ab,tzyxbi->tzyxai", jnp.asarray(pp), upsi)
             out = jnp.roll(g, +1, axis=ax)
         return self._from_sc(-self.kappa * out)
 
@@ -133,16 +137,16 @@ class CoarseLevel:
         return out
 
     def apply_diag(self, v: jax.Array) -> jax.Array:
-        return jnp.einsum("tzyxab,tzyxb->tzyxa", self.diag, v)
+        return ceinsum("tzyxab,tzyxb->tzyxa", self.diag, v)
 
     def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
         from ..lattice import AXIS_OF_MU
         ax = AXIS_OF_MU[mu]
         if sign == +1:
             nb = jnp.roll(v, -1, axis=ax)
-            return jnp.einsum("tzyxab,tzyxb->tzyxa", self.links_fwd[mu], nb)
+            return ceinsum("tzyxab,tzyxb->tzyxa", self.links_fwd[mu], nb)
         nb = jnp.roll(v, +1, axis=ax)
-        return jnp.einsum("tzyxab,tzyxb->tzyxa", self.links_bwd[mu], nb)
+        return ceinsum("tzyxab,tzyxb->tzyxa", self.links_bwd[mu], nb)
 
     def boosted(self, delta_mu_term: float) -> "CoarseLevel":
         """mu-boost (SURVEY.md §4.3): add i * delta * g5_c to the diagonal

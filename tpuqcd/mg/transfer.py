@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cplx import ceinsum
+
 
 @dataclasses.dataclass(frozen=True)
 class Transfer:
@@ -55,10 +57,10 @@ class Transfer:
     def restrict(self, v: jax.Array) -> jax.Array:
         """fine [*dims_f, n_f] -> coarse [*dims_c, n_c]"""
         vb = self._blockize(v)
-        return jnp.einsum("tzyxfc,tzyxf->tzyxc", jnp.conj(self.p), vb)
+        return ceinsum("tzyxfc,tzyxf->tzyxc", jnp.conj(self.p), vb)
 
     def prolong(self, vc: jax.Array) -> jax.Array:
-        vb = jnp.einsum("tzyxfc,tzyxc->tzyxf", self.p, vc)
+        vb = ceinsum("tzyxfc,tzyxc->tzyxf", self.p, vc)
         return self._unblockize(vb)
 
 

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..solvers.gcr import gcr, mr_smoother
+from ..utils.cplx import cvdot
 from .coarse import build_coarse
 from .level import CoarseLevel
 from .transfer import Transfer, setup_transfer
@@ -82,15 +83,15 @@ def _bicgstab_fixed(matvec, b, iters):
 
     def body(_, st):
         x, r, p, v, rho, alpha, omega = st
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = cvdot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
         v = matvec(p)
-        alpha = rho_new / jnp.vdot(rhat, v)
+        alpha = rho_new / cvdot(rhat, v)
         s = r - alpha * v
         t = matvec(s)
-        omega = jnp.vdot(t, s) / jnp.maximum(
-            jnp.vdot(t, t).real, 1e-30).astype(jnp.complex64)
+        omega = cvdot(t, s) / jnp.maximum(
+            cvdot(t, t).real, 1e-30).astype(jnp.complex64)
         x = x + alpha * p + omega * s
         r = s - omega * t
         return (x, r, p, v, rho_new, alpha, omega)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gammas import PROJ_MINUS, PROJ_PLUS
+from ..utils.cplx import ceinsum
 from ..lattice import AXIS_OF_MU, Lattice
 
 
@@ -47,10 +48,11 @@ def dslash_full(u: jax.Array, psi: jax.Array) -> jax.Array:
         pp = _cplx(PROJ_PLUS[mu], dtype)
         # forward: (1 - g_mu) U_mu(x) psi(x+mu)
         fwd = jnp.roll(psi, -1, axis=ax)
-        fwd = jnp.einsum("ab,tzyxij,...tzyxbj->...tzyxai", pm, u[mu], fwd)
+        fwd = ceinsum("tzyxij,...tzyxbj->...tzyxbi", u[mu], fwd)
+        fwd = ceinsum("ab,...tzyxbi->...tzyxai", pm, fwd)
         # backward: (1 + g_mu) U_mu(y)^dag psi(y) at y = x-mu, shifted to x
-        bwd = jnp.einsum("ab,tzyxji,...tzyxbj->...tzyxai", pp,
-                         jnp.conj(u[mu]), psi)
+        bwd = ceinsum("tzyxji,...tzyxbj->...tzyxbi", jnp.conj(u[mu]), psi)
+        bwd = ceinsum("ab,...tzyxbi->...tzyxai", pp, bwd)
         bwd = jnp.roll(bwd, +1, axis=ax)
         out = out + fwd + bwd
     return out
@@ -104,16 +106,20 @@ def dslash_eo(u_eo: jax.Array, psi_p: jax.Array, src_parity: int,
         pp = _cplx(PROJ_PLUS[mu], dtype)
         u_q = u_eo[mu, q]  # links based at result sites (forward hop)
         u_p = u_eo[mu, p]  # links based at source sites (backward hop)
+        def pupsi(tab, umat, dagger_u, f):
+            lbl = "tzyxji" if dagger_u else "tzyxij"
+            t = ceinsum(f"{lbl},...tzyxbj->...tzyxbi",
+                        jnp.conj(umat) if dagger_u else umat, f)
+            return ceinsum("ab,...tzyxbi->...tzyxai", tab, t)
+
         if mu == 3 or mu == 2 or mu == 1:
             fwd_nb = _shift_tzy(psi_p, mu, -1, nb)
-            bwd = jnp.einsum("ab,tzyxji,...tzyxbj->...tzyxai", pp,
-                             jnp.conj(u_p), psi_p)
+            bwd = pupsi(pp, u_p, True, psi_p)
             bwd = _shift_tzy(bwd, mu, +1, nb)
         else:  # mu == 0: x direction
             fwd_nb = _gather_x_plus(psi_p, o_p_spinor, nb)
-            bwd = jnp.einsum("ab,tzyxji,...tzyxbj->...tzyxai", pp,
-                             jnp.conj(u_p), psi_p)
+            bwd = pupsi(pp, u_p, True, psi_p)
             bwd = _gather_x_minus(bwd, o_p_spinor, nb)
-        fwd = jnp.einsum("ab,tzyxij,...tzyxbj->...tzyxai", pm, u_q, fwd_nb)
+        fwd = pupsi(pm, u_q, False, fwd_nb)
         out = out + fwd + bwd
     return out

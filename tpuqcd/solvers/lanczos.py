@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.cplx import cvdot
+
 
 def chebyshev_filter(apply_a: Callable, lo: float, hi: float,
                      degree: int) -> Callable:
@@ -59,10 +61,10 @@ def lanczos_lowest(apply_a: Callable, v0: jax.Array, n_ev: int, *,
         op = chebyshev_filter(apply_a, *filter_window, filter_degree)
 
     def dot(a, b):
-        return complex(jnp.vdot(a, b))
+        return complex(cvdot(a, b))
 
     def nrm(a):
-        return float(jnp.sqrt(jnp.vdot(a, a).real))
+        return float(jnp.sqrt(cvdot(a, a).real))
 
     vs = []
     alpha = []
@@ -113,5 +115,5 @@ def deflated_initial_guess(evals, evecs, b):
     """x0 = sum_i v_i <v_i, b> / lambda_i (exact on the deflated space)."""
     x0 = jnp.zeros_like(b)
     for lam, v in zip(np.asarray(evals), evecs):
-        x0 = x0 + (jnp.vdot(v, b) / lam) * v
+        x0 = x0 + (cvdot(v, b) / lam) * v
     return x0

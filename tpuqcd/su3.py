@@ -14,26 +14,14 @@ import jax.numpy as jnp
 
 def random_su3(key: jax.Array, shape: tuple[int, ...],
                dtype=jnp.complex64) -> jax.Array:
-    """iid Haar-ish random SU(3) matrices of shape ``shape + (3, 3)``.
+    """iid random SU(3) matrices of shape ``shape + (3, 3)``.
 
-    QR of a complex Ginibre matrix, phase-fixed, then det-normalized to
-    SU(3) (divide by det^{1/3}).  Good enough for tests and for generating
-    pseudo-gauge ensembles; not a lattice HMC.
+    Row-wise Gram-Schmidt + reconstruct-12 (see random_su3_leading) —
+    works on the TPU backend, which has no complex QR.  Good enough for
+    tests and pseudo-gauge ensembles; not a lattice HMC.
     """
-    kr, ki = jax.random.split(key)
-    # lax.complex keeps everything f32/c64 — never materialize c128, the
-    # TPU backend has no C128 at all.
-    a = jax.lax.complex(
-        jax.random.normal(kr, (*shape, 3, 3), dtype=jnp.float32),
-        jax.random.normal(ki, (*shape, 3, 3), dtype=jnp.float32))
-    q, r = jnp.linalg.qr(a)
-    # fix the U(1)^3 ambiguity: make diag(r) real-positive
-    d = jnp.diagonal(r, axis1=-2, axis2=-1)
-    q = q * (d / jnp.abs(d))[..., None, :]
-    # project U(3) -> SU(3)
-    det = jnp.linalg.det(q)
-    q = q * (det[..., None, None] ** (-1.0 / 3.0))
-    return q.astype(dtype)
+    m = random_su3_leading(key, shape, dtype=dtype)   # [3, 3, *shape]
+    return jnp.moveaxis(m, (0, 1), (-2, -1))
 
 
 def unit_gauge(lat, eo: bool = False, dtype=jnp.complex64) -> jax.Array:
@@ -50,12 +38,11 @@ def random_gauge(key: jax.Array, lat, eo: bool = False,
 
 
 def reunitarize(u: jax.Array) -> jax.Array:
-    """Project ``[..., 3, 3]`` matrices back onto SU(3) (polar-style via QR)."""
-    q, r = jnp.linalg.qr(u)
-    d = jnp.diagonal(r, axis1=-2, axis2=-1)
-    q = q * (d / jnp.abs(d))[..., None, :]
-    det = jnp.linalg.det(q)
-    return q * (det[..., None, None] ** (-1.0 / 3.0))
+    """Project ``[..., 3, 3]`` matrices back onto SU(3) (Newton polar
+    projection — TPU-safe, no complex QR on that backend)."""
+    from .ops import mat3
+    m = jnp.moveaxis(u, (-2, -1), (0, 1))
+    return jnp.moveaxis(mat3.project_su3(m), (0, 1), (-2, -1))
 
 
 # --- reconstruct-12 compression -------------------------------------------
