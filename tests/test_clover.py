@@ -93,3 +93,26 @@ def test_tmclover_solve():
     rel = float(jnp.sqrt((norm2(b[0] - re) + norm2(b[1] - ro)) /
                          (norm2(b[0]) + norm2(b[1]))))
     assert rel < 5e-6, rel
+
+
+def test_packed_clover_pallas_matches_complex():
+    """Fused Pallas clover epilogues == the complex TM-clover operator
+    (interpreter mode)."""
+    from tpuqcd.operators import PackedTMCloverOperatorPC
+    from tpuqcd.utils.packed import pack_gauge, pack_spinor, unpack_spinor
+    u = _u()
+    clov = CloverData.build(u, LAT, KAPPA, MU, CSW)
+    op_ref = TMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW)
+    psi = _psi(31)
+    ref = op_ref.apply(u, clov, psi)
+    refd = op_ref.apply_dagger(u, clov, psi)
+
+    op = PackedTMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW,
+                                  interpret=True)
+    cl = op.pack_clover_data(clov)
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    out = unpack_spinor(op.apply(u_pk, cl, psi_pk))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    outd = unpack_spinor(op.apply_dagger(u_pk, cl, psi_pk))
+    np.testing.assert_allclose(np.asarray(outd), np.asarray(refd),
+                               atol=3e-5)

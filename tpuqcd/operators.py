@@ -338,6 +338,58 @@ class NdegTMOperator:
         return self.apply_dagger(u, self.apply(u, chi))
 
 
+@dataclasses.dataclass(frozen=True)
+class PackedTMCloverOperatorPC:
+    """Production even-odd twisted-clover operator: fused Pallas kernels.
+
+    Two launches per apply (the reference's dslash_twisted_clover fusion):
+    clover_inv epilogue applies the precomputed twisted-inverse blocks
+    Atw_oo^{-1}, clover_xpay applies A_ee + the twist and the -kappa^2
+    accumulation.  Clover data packed via utils.packed.pack_clover.
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    csw: float = 1.0
+    flavor: int = +1
+    interpret: bool = False
+
+    @staticmethod
+    def pack_clover_data(clover: "CloverData"):
+        """-> dict of packed arrays for apply() (a_even, ainv_odd_plus/minus).
+        """
+        from .utils.packed import pack_clover
+        return dict(
+            a_even=pack_clover(clover.a_blocks[EVEN]),
+            ainv_plus=pack_clover(clover.ainv_odd_plus),
+            ainv_minus=pack_clover(clover.ainv_odd_minus))
+
+    def _k(self, u_pk, psi, parity, dagger, epilogue, flavor, clover_pk,
+           psi0=None):
+        from .ops.dslash_pallas import dslash_eo_pallas
+        return dslash_eo_pallas(u_pk, psi, parity, self.lat, dagger=dagger,
+                                epilogue=epilogue, kappa=self.kappa,
+                                mu=self.mu, flavor=flavor, psi0_pk=psi0,
+                                clover_pk=clover_pk,
+                                interpret=self.interpret)
+
+    def _apply(self, u_pk, cl, psi_pk, dagger):
+        f = self.flavor if not dagger else -self.flavor
+        ainv = cl["ainv_plus"] if f == +1 else cl["ainv_minus"]
+        t1 = self._k(u_pk, psi_pk, EVEN, dagger, "clover_inv", f, ainv)
+        return self._k(u_pk, t1, ODD, dagger, "clover_xpay", f,
+                       cl["a_even"], psi0=psi_pk)
+
+    def apply(self, u_pk, cl, psi_pk):
+        return self._apply(u_pk, cl, psi_pk, dagger=False)
+
+    def apply_dagger(self, u_pk, cl, psi_pk):
+        return self._apply(u_pk, cl, psi_pk, dagger=True)
+
+    def normal(self, u_pk, cl, psi_pk):
+        return self.apply_dagger(u_pk, cl, self.apply(u_pk, cl, psi_pk))
+
+
 # --- packed-real (ri-leading) twist helpers: psi [2, 4, 3, T, Z, S] --------
 
 def twist_apply_pk(psi_pk: jax.Array, kappa: float, mu: float,

@@ -71,6 +71,10 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         psi_zp_ref = psi_zm_ref = u_zm_ref = None
     if epilogue == "xpay":
         psi0_ref, out_ref = rest
+    elif epilogue == "clover_inv":
+        cl_ref, out_ref = rest
+    elif epilogue == "clover_xpay":
+        cl_ref, psi0_ref, out_ref = rest
     else:
         (out_ref,) = rest
     Y = lat.Ly
@@ -276,6 +280,47 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         k2 = kappa * kappa
         rr = p0r - tw * g5_mul(p0i) - k2 * dr
         ri = p0i + tw * g5_mul(p0r) - k2 * di
+    elif epilogue in ("clover_inv", "clover_xpay"):
+        # site-local chiral 6x6 blocks (ops/clover.py conventions):
+        # cl_ref [2(ri), 2(chir), 6, 6, 1, Zb, S]
+        from ..ops.clover import CHIR_SPINS
+        cl = cl_ref[...].reshape(2, 2, 6, 6, Zb, S).astype(f32)
+
+        def block_mv(xr, xi):
+            # (yr, yi)[4][3] = blocks @ x per chirality
+            yr = [[None] * 3 for _ in range(4)]
+            yi = [[None] * 3 for _ in range(4)]
+            for c, spins in enumerate(CHIR_SPINS):
+                comps = [(xr[s_, j_], xi[s_, j_])
+                         for s_ in spins for j_ in range(3)]
+                for i_ in range(6):
+                    ar = None
+                    ai = None
+                    for k_ in range(6):
+                        br, bi = comps[k_]
+                        mr = cl[0, c, i_, k_]
+                        mi = cl[1, c, i_, k_]
+                        tr_ = mr * br - mi * bi
+                        ti_ = mr * bi + mi * br
+                        ar = tr_ if ar is None else ar + tr_
+                        ai = ti_ if ai is None else ai + ti_
+                    yr[spins[i_ // 3]][i_ % 3] = ar
+                    yi[spins[i_ // 3]][i_ % 3] = ai
+            return (jnp.stack([jnp.stack(r_) for r_ in yr]),
+                    jnp.stack([jnp.stack(r_) for r_ in yi]))
+
+        if epilogue == "clover_inv":
+            # out = Ainv_twisted . D  (the inverse already includes the
+            # twist term, ops/clover.clover_twist_inverse)
+            rr, ri = block_mv(dr, di)
+        else:
+            # out = (A + i tw g5) psi0 - kappa^2 D
+            blk = psi0_ref[...].reshape(2, 4, 3, Zb, S).astype(f32)
+            p0r, p0i = blk[0], blk[1]
+            ar_, ai_ = block_mv(p0r, p0i)
+            k2 = kappa * kappa
+            rr = ar_ - tw * g5_mul(p0i) - k2 * dr
+            ri = ai_ + tw * g5_mul(p0r) - k2 * di
     else:
         raise ValueError(epilogue)
     out = jnp.stack([rr, ri]).reshape(2, 4, 3, 1, Zb, S)
@@ -292,6 +337,7 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      epilogue: str = "none", kappa: float = 0.0,
                      mu: float = 0.0, flavor: int = 1,
                      psi0_pk: jax.Array | None = None,
+                     clover_pk: jax.Array | None = None,
                      block_z: int | None = None,
                      interpret: bool = False,
                      local_dims: tuple[int, int] | None = None,
@@ -379,6 +425,10 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      memory_space=pltpu.VMEM),
     ]
     operands = [psi_pk, psi_pk, psi_pk, u_pk, u_pk]
+    # clover operand: packed chiral blocks [2(ri), 2(chir), 6, 6, T, Z, S]
+    clover_spec = pl.BlockSpec((2, 2, 6, 6, 1, Zb, S),
+                               lambda t, zb: (0, 0, 0, 0, t, zb, 0),
+                               memory_space=pltpu.VMEM)
     if Zb < Z or halo_z:
         # full-slab z-halo refs (Mosaic rejects sub-8-row blocks; a narrow
         # single-row halo fetch needs the manual-DMA v2 kernel)
@@ -393,6 +443,14 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     if epilogue == "xpay":
         if psi0_pk is None:
             raise ValueError("xpay epilogue needs psi0_pk")
+        in_specs.append(spin_spec(lambda t: t))
+        operands.append(psi0_pk)
+    elif epilogue == "clover_inv":
+        in_specs.append(clover_spec)
+        operands.append(clover_pk)
+    elif epilogue == "clover_xpay":
+        in_specs.append(clover_spec)
+        operands.append(clover_pk)
         in_specs.append(spin_spec(lambda t: t))
         operands.append(psi0_pk)
     out_spec = pl.BlockSpec(spinor_block, lambda t, zb: (0, 0, 0, t, zb, 0),

@@ -67,3 +67,9 @@ def cdot_packed(x_pk: jax.Array, y_pk: jax.Array):
     re = jnp.sum(xr * yr) + jnp.sum(xi * yi)
     im = jnp.sum(xr * yi) - jnp.sum(xi * yr)
     return re, im
+
+
+def pack_clover(blocks: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """chiral clover blocks [2(chir), 6, 6, T, Z, S] complex ->
+    packed [2(ri), 2, 6, 6, T, Z, S]."""
+    return jnp.stack([jnp.real(blocks), jnp.imag(blocks)]).astype(dtype)
