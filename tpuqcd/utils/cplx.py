@@ -11,16 +11,20 @@ import jax
 import jax.numpy as jnp
 
 
+_PREC = jax.lax.Precision.HIGHEST  # TPU f32 dots default to bf16 passes
+
+
 def ceinsum(subscripts: str, a: jax.Array, b: jax.Array) -> jax.Array:
     """einsum for two complex operands via real parts (TPU-safe)."""
     if not (jnp.iscomplexobj(a) or jnp.iscomplexobj(b)):
-        return jnp.einsum(subscripts, a, b, optimize=True)
+        return jnp.einsum(subscripts, a, b, optimize=True,
+                          precision=_PREC)
     ar, ai = jnp.real(a), jnp.imag(a)
     br, bi = jnp.real(b), jnp.imag(b)
-    re = jnp.einsum(subscripts, ar, br, optimize=True) - \
-        jnp.einsum(subscripts, ai, bi, optimize=True)
-    im = jnp.einsum(subscripts, ar, bi, optimize=True) + \
-        jnp.einsum(subscripts, ai, br, optimize=True)
+    re = jnp.einsum(subscripts, ar, br, optimize=True, precision=_PREC) - \
+        jnp.einsum(subscripts, ai, bi, optimize=True, precision=_PREC)
+    im = jnp.einsum(subscripts, ar, bi, optimize=True, precision=_PREC) + \
+        jnp.einsum(subscripts, ai, br, optimize=True, precision=_PREC)
     return jax.lax.complex(re, im)
 
 
