@@ -36,18 +36,25 @@ def best_dslash(lat, u, psi):
     packed fields if it compiles for this volume, else the XLA path."""
     try:
         from tpuqcd.ops.dslash_pallas import dslash_eo_pallas
-        from tpuqcd.utils.packed import pack_gauge, pack_spinor
-        u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
-        try:
-            from tpuqcd.utils.tune import tune_dslash_block_z
-            zb = tune_dslash_block_z(lat)
-        except Exception:
-            zb = None
+        from tpuqcd.utils.packed import (pack_gauge, pack_gauge12,
+                                         pack_spinor)
+        psi_pk = pack_spinor(psi)
+        for recon, pack_u in ((12, pack_gauge12), (18, pack_gauge)):
+            u_pk = pack_u(u)
+            try:
+                from tpuqcd.utils.tune import tune_dslash_block_z
+                zb = tune_dslash_block_z(lat, recon=recon)
+            except Exception:
+                zb = None
 
-        def ds(u_a, p):
-            return dslash_eo_pallas(u_a, p, 0, lat, block_z=zb)
-        jax.block_until_ready(ds(u_pk, psi_pk))  # smoke-run before claiming
-        return "pallas", ds, u_pk, psi_pk
+            def ds(u_a, p, zb=zb):
+                return dslash_eo_pallas(u_a, p, 0, lat, block_z=zb)
+            try:
+                jax.block_until_ready(ds(u_pk, psi_pk))  # smoke-run
+            except Exception:
+                continue
+            return f"pallas-r{recon}", ds, u_pk, psi_pk
+        raise RuntimeError("no pallas variant compiled")
     except Exception:
         from tpuqcd.ops.dslash_xla import dslash_eo_dev
 

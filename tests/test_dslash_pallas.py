@@ -126,3 +126,44 @@ def test_pallas_z_blocking(block_z):
                            block_z=block_z, interpret=True)
     np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
                                np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("dagger", [False, True])
+@pytest.mark.parametrize("block_z", [None, 2])
+def test_pallas_recon12(dagger, block_z):
+    """Compressed gauge (rows 0,1 + in-kernel third-row rebuild) matches
+    the full-gauge kernel, including the antiperiodic T-boundary links."""
+    from tpuqcd.utils.packed import pack_gauge12
+    u, psi = _setup()
+    ref = dslash_eo_dev(u, psi, EVEN, LAT, dagger=dagger)
+    out = dslash_eo_pallas(pack_gauge12(u), pack_spinor(psi), EVEN, LAT,
+                           dagger=dagger, block_z=block_z, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_recon12_epilogues():
+    from tpuqcd.utils.packed import pack_gauge12
+    u, psi = _setup()
+    pc = DeviceTMOperatorPC(LAT, kappa=KAPPA, mu=MU)
+    ref = pc.apply(u, psi)
+    u12, psi_pk = pack_gauge12(u), pack_spinor(psi)
+    t1 = dslash_eo_pallas(u12, psi_pk, EVEN, LAT, epilogue="twist_inv",
+                          kappa=KAPPA, mu=MU, interpret=True)
+    out = dslash_eo_pallas(u12, t1, ODD, LAT, epilogue="xpay",
+                           kappa=KAPPA, mu=MU, psi0_pk=psi_pk,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=3e-5)
+
+
+def test_pallas_recon12_periodic_t():
+    """t_boundary=+1 on an unphased gauge field (periodic fermions)."""
+    from tpuqcd.utils.packed import pack_gauge12
+    u = su3.random_gauge_dev(jax.random.PRNGKey(3), LAT)  # NO phases
+    psi = random_spinor_dev(jax.random.PRNGKey(4), LAT, parities=1)
+    ref = dslash_eo_dev(u, psi, ODD, LAT)
+    out = dslash_eo_pallas(pack_gauge12(u), pack_spinor(psi), ODD, LAT,
+                           t_boundary=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=2e-5)

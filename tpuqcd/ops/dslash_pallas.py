@@ -61,7 +61,8 @@ def _auto_block_z(Z: int, S: int, itemsize: int,
 def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             lat: Lattice, parity: int, dagger: bool,
             epilogue: str, kappa: float, mu: float, flavor: int, Zb: int,
-            z_blocked: bool, compute_dtype):
+            z_blocked: bool, compute_dtype, recon12: bool, t_boundary: int,
+            T_total: int):
     """One [Zb, S] slab; see module docstring for the stencil plan."""
     rest = list(rest)
     if z_blocked:
@@ -190,9 +191,48 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             return rec
         return (acc[0] + rec[0], acc[1] + rec[1])
 
+    R = 2 if recon12 else 3
+
+    def recon_full(ur, ui, phase):
+        """reconstruct-12: third row = phase * conj(row0 x row1).
+
+        ur/ui [2(row), 3(col), rows, S] -> [3, 3, rows, S].  `phase` is the
+        T-boundary link phase (the stored rows carry it, but the bilinear
+        cross product squares it away — the rebuilt row must re-apply it;
+        reference gauge_field_order.h Reconstruct<12> t-boundary [U]).
+        """
+        r2r, r2i = [], []
+        for i in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            ar, ai = ur[0, i1], ui[0, i1]
+            br, bi = ur[1, i2], ui[1, i2]
+            cr, ci = ur[0, i2], ui[0, i2]
+            dr, di = ur[1, i1], ui[1, i1]
+            re = (ar * br - ai * bi) - (cr * dr - ci * di)
+            im = (ar * bi + ai * br) - (cr * di + ci * dr)
+            if phase is not None:
+                re = re * phase
+                im = im * phase
+            r2r.append(re)
+            r2i.append(-im)
+        return (jnp.concatenate([ur, jnp.stack(r2r)[None]], axis=0),
+                jnp.concatenate([ui, jnp.stack(r2i)[None]], axis=0))
+
+    def t_phase(at_boundary):
+        """phase of the mu=t link row under antiperiodic BC (recon only)."""
+        if not recon12 or t_boundary == 1:
+            return None
+        return jnp.where(at_boundary, jnp.float32(t_boundary),
+                         jnp.float32(1.0))
+
     def load_u(muu, par):
-        blk = u_ref[muu, par].reshape(3, 3, 2, Zb, S).astype(f32)
-        return blk[:, :, 0], blk[:, :, 1]
+        blk = u_ref[muu, par].reshape(R, 3, 2, Zb, S).astype(f32)
+        ur, ui = blk[:, :, 0], blk[:, :, 1]
+        if not recon12:
+            return ur, ui
+        # forward-t link lives at the center timeslice t
+        phase = t_phase(t == T_total - 1) if muu == 3 else None
+        return recon_full(ur, ui, phase)
 
     pr, pi = load_psi(psi_c_ref, Zb)
     acc = None
@@ -235,9 +275,11 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         # row 0 computed from the last row of the zb-1 psi/gauge slabs
         zm_r, zm_i = load_psi(psi_zm_ref, Zb)
         hhr, hhi = proj(hpp[2], zm_r[:, :, Zb - 1:], zm_i[:, :, Zb - 1:])
-        um = u_zm_ref[...].reshape(3, 3, 2, Zb, S).astype(f32)
-        ghr, ghi = su3_mv(um[:, :, 0, Zb - 1:], um[:, :, 1, Zb - 1:],
-                          hhr, hhi, dag=True)
+        um = u_zm_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
+        uzr, uzi = um[:, :, 0, Zb - 1:], um[:, :, 1, Zb - 1:]
+        if recon12:
+            uzr, uzi = recon_full(uzr, uzi, None)
+        ghr, ghi = su3_mv(uzr, uzi, hhr, hhi, dag=True)
         gr = jnp.where(is_zlo, ghr, roll_z(gr, +1))
         gi = jnp.where(is_zlo, ghi, roll_z(gi, +1))
     else:
@@ -253,8 +295,12 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
 
     prm, pim = load_psi(psi_m1_ref, Zb)
     hr, hi = proj(hpp[3], prm, pim)
-    um = u_tm1_ref[...].reshape(3, 3, 2, Zb, S).astype(f32)
-    hr, hi = su3_mv(um[:, :, 0], um[:, :, 1], hr, hi, dag=True)
+    um = u_tm1_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
+    utr, uti = um[:, :, 0], um[:, :, 1]
+    if recon12:
+        # backward-t link lives at t-1, i.e. at T-1 exactly when t == 0
+        utr, uti = recon_full(utr, uti, t_phase(t == 0))
+    hr, hi = su3_mv(utr, uti, hr, hi, dag=True)
     acc = recon_accum(hrp[3], hr, hi, acc)
 
     dr, di = acc  # [4, 3, Zb, S]
@@ -331,7 +377,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     jax.jit,
     static_argnames=("src_parity", "lat", "dagger", "epilogue", "kappa",
                      "mu", "flavor", "block_z", "interpret", "local_dims",
-                     "halo_t", "halo_z"))
+                     "halo_t", "halo_z", "t_boundary"))
 def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      lat: Lattice, dagger: bool = False,
                      epilogue: str = "none", kappa: float = 0.0,
@@ -342,10 +388,22 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      interpret: bool = False,
                      local_dims: tuple[int, int] | None = None,
                      halo_t: bool = False,
-                     halo_z: bool = False) -> jax.Array:
+                     halo_z: bool = False,
+                     t_boundary: int = -1) -> jax.Array:
     """Packed-real even-odd Dslash with fused site-term epilogues.
 
-    u_pk [4,2,3,3,2,T,Z,S]; psi_pk [2,4,3,T,Z,S] at src_parity; returns
+    u_pk [4,2,3,3,2,T,Z,S] full, or [4,2,2,3,2,T,Z,S] reconstruct-12
+    compressed (utils/packed.pack_gauge12 — rows 0,1 only; the kernel
+    rebuilds row2 = conj(row0 x row1) in VMEM, reference
+    `gauge_field_order.h` Reconstruct<12> [U], SURVEY.md C3).  The format
+    is inferred from the row-axis extent.  `t_boundary` is the fermion
+    T-boundary phase baked into the stored links (-1 antiperiodic, the
+    production convention via fields.apply_boundary_phase_dev; +1
+    periodic) — needed only by the recon-12 path to restore the rebuilt
+    row's phase at the boundary timeslice.  Compressed T-links are not
+    supported with halo_t (global t is not derivable in-kernel).
+
+    psi_pk [2,4,3,T,Z,S] at src_parity; returns
     the same shape at parity 1-src_parity (epilogues apply site terms of
     the result parity).
 
@@ -363,6 +421,11 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     Xh = lat.Lx // 2
     S = Y * Xh
     T, Z = local_dims if local_dims is not None else (lat.Lt, lat.Lz)
+    R = u_pk.shape[2]
+    recon12 = R == 2
+    if recon12 and halo_t:
+        raise ValueError("reconstruct-12 gauge is not supported with "
+                         "halo_t (use full links on the T-sharded path)")
     p = src_parity
     if block_z is None:
         block_z = _auto_block_z(Z, S, psi_pk.dtype.itemsize)
@@ -417,10 +480,10 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         spin_spec(lambda t: t),
         spin_spec(t_p1),
         spin_spec(t_m1),
-        pl.BlockSpec((4, 2, 3, 3, 2, 1, Zb, S),
+        pl.BlockSpec((4, 2, R, 3, 2, 1, Zb, S),
                      lambda t, zb: (0, 0, 0, 0, 0, t, zb, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, 3, 2, 1, Zb, S),
+        pl.BlockSpec((1, 1, R, 3, 2, 1, Zb, S),
                      lambda t, zb: (3, p, 0, 0, 0, t_m1_u(t), zb, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -435,7 +498,7 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         in_specs += [
             spin_spec(lambda t: t, lambda t, zb: z_p1(zb)),
             spin_spec(lambda t: t, lambda t, zb: z_m1(zb)),
-            pl.BlockSpec((1, 1, 3, 3, 2, 1, Zb, S),
+            pl.BlockSpec((1, 1, R, 3, 2, 1, Zb, S),
                          lambda t, zb: (2, p, 0, 0, 0, t, z_m1_u(zb), 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -460,7 +523,8 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     kern = functools.partial(
         _kernel, lat=lat, parity=p, dagger=dagger, epilogue=epilogue,
         kappa=kappa, mu=mu, flavor=flavor, Zb=Zb, z_blocked=z_blocked,
-        compute_dtype=jnp.float32)
+        compute_dtype=jnp.float32, recon12=recon12, t_boundary=t_boundary,
+        T_total=T)
 
     flops = 1320 * (Z * S) * T
     bytes_acc = psi_pk.size * psi_pk.dtype.itemsize * 4 + \

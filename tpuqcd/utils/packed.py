@@ -39,6 +39,13 @@ def pack_gauge(u_dev: jax.Array, dtype=jnp.float32) -> jax.Array:
     return jnp.stack([jnp.real(u_dev), jnp.imag(u_dev)], axis=4).astype(dtype)
 
 
+def pack_gauge12(u_dev: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct-12 compressed packed gauge: rows 0,1 only ->
+    [4, 2, 2(row), 3, 2(ri), T, Z, S] (SURVEY.md C3 "gauge-link
+    compression"; the Pallas kernel rebuilds the third row in VMEM)."""
+    return pack_gauge(u_dev, dtype)[:, :, :2]
+
+
 def unpack_gauge(u_pk: jax.Array) -> jax.Array:
     return jax.lax.complex(u_pk[:, :, :, :, 0].astype(jnp.float32),
                            u_pk[:, :, :, :, 1].astype(jnp.float32))

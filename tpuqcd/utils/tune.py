@@ -41,15 +41,19 @@ def _store(cache: dict) -> None:
 
 
 def tune_dslash_block_z(lat: Lattice, dtype=jnp.float32,
-                        niter: int = 20, force: bool = False) -> int:
-    """Time the Dslash over the legal block_z candidates; cache the best."""
+                        niter: int = 20, force: bool = False,
+                        recon: int = 18) -> int:
+    """Time the Dslash over the legal block_z candidates; cache the best.
+
+    recon: 18 = full links, 12 = compressed (pack_gauge12)."""
     from .. import su3
     from ..fields import apply_boundary_phase_dev, random_spinor_dev
     from ..ops.dslash_pallas import _auto_block_z, dslash_eo_pallas
-    from ..utils.packed import pack_gauge, pack_spinor
+    from ..utils.packed import pack_gauge, pack_gauge12, pack_spinor
 
     dev = jax.devices()[0]
-    key = f"dslash_eo/{lat.dims}/{jnp.dtype(dtype).name}/{dev.device_kind}"
+    key = (f"dslash_eo/{lat.dims}/{jnp.dtype(dtype).name}/r{recon}/"
+           f"{dev.device_kind}")
     cache = _load()
     if key in cache and not force:
         return int(cache[key]["block_z"])
@@ -70,7 +74,8 @@ def tune_dslash_block_z(lat: Lattice, dtype=jnp.float32,
     u = apply_boundary_phase_dev(
         su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
     psi = random_spinor_dev(jax.random.PRNGKey(1), lat, parities=1)
-    u_pk = pack_gauge(u, dtype=dtype)
+    pack_u = pack_gauge12 if recon == 12 else pack_gauge
+    u_pk = pack_u(u, dtype=dtype)
     psi_pk = pack_spinor(psi, dtype=dtype)
 
     results = {}
