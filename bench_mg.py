@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""MG solve wallclock benchmark — the second half of the contract metric
+("MG twisted-mass solve wallclock to 1e-10 at 32^3x64", BASELINE.json:2).
+
+Builds the device-resident MG hierarchy (tpuqcd.mg.dsolve) on a random
+SU(3) gauge field at the contract volume, then times the certified
+1e-10 solve of the full twisted-mass system.  For context it also times
+the MG-preconditioned fp32 inner solve alone and (optionally) the plain
+mixed-precision CG path to the same tolerance (--with-cg).
+
+Run on the real TPU: ``python bench_mg.py [--dims 32 32 32 64]``.
+Prints one JSON line per phase plus a summary line.
+"""
+import argparse
+import json
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", type=int, nargs=4, default=[32, 32, 32, 64])
+    ap.add_argument("--kappa", type=float, default=0.1373)
+    ap.add_argument("--mu", type=float, default=0.0009)
+    ap.add_argument("--tol", type=float, default=1e-10)
+    ap.add_argument("--n-vec", type=int, nargs="+", default=[8, 8])
+    ap.add_argument("--setup-iters", type=int, default=40)
+    ap.add_argument("--with-cg", action="store_true")
+    ap.add_argument("--backend", default="pallas")
+    args = ap.parse_args()
+
+    from tpuqcd import su3
+    from tpuqcd.fields import apply_boundary_phase_dev, random_spinor_dev
+    from tpuqcd.lattice import Lattice
+    from tpuqcd.mg.dsolve import DeviceMGParams
+    from tpuqcd.solve import setup_multigrid, solve_tm_mg
+    from tpuqcd.utils.packed import pack_gauge, pack_spinor
+
+    lat = Lattice(tuple(args.dims))
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
+    u_pk = pack_gauge(u)
+    b = random_spinor_dev(jax.random.PRNGKey(1), lat)  # both parities
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+
+    blocks = ((4, 4, 4, 4), (2, 2, 2, 2), (2, 2, 2, 2))[:len(args.n_vec)]
+    params = DeviceMGParams(n_vec=tuple(args.n_vec), block=blocks,
+                            setup_iters=args.setup_iters)
+
+    t0 = time.perf_counter()
+    mg = setup_multigrid(u_pk, lat, kappa=args.kappa, mu=args.mu,
+                         params=params, backend=args.backend, verbose=True)
+    t_setup = time.perf_counter() - t0
+    print(json.dumps({"metric": "mg_setup_seconds", "value":
+                      round(t_setup, 2), "unit": "s",
+                      "detail": {k: round(v, 2) for k, v in
+                                 mg.setup_seconds.items()}}), flush=True)
+
+    # warm the solve path (compiles), then time
+    res = solve_tm_mg(mg, b_pk, tol=args.tol, verbose=True)
+    t0 = time.perf_counter()
+    res = solve_tm_mg(mg, b_pk, tol=args.tol)
+    t_solve = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "mg_solve_wallclock_1e10",
+        "value": round(t_solve, 3), "unit": "s",
+        "relres": float(res.relres), "inner_iters": int(res.iters),
+        "dims": args.dims}), flush=True)
+
+    if args.with_cg:
+        from tpuqcd.solve import solve_tm
+        res_cg = solve_tm(u_pk, b_pk, lat, kappa=args.kappa, mu=args.mu,
+                          tol=args.tol)  # warm
+        t0 = time.perf_counter()
+        res_cg = solve_tm(u_pk, b_pk, lat, kappa=args.kappa, mu=args.mu,
+                          tol=args.tol)
+        t_cg = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "cg_solve_wallclock_1e10", "value": round(t_cg, 3),
+            "unit": "s", "relres": float(res_cg.relres),
+            "iters": int(res_cg.iters),
+            "mg_speedup": round(t_cg / t_solve, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

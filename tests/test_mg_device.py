@@ -1,0 +1,188 @@
+"""Device-resident MG (mg/device.py, mg/dsolve.py) on CPU.
+
+Anchors: the host full-layout MG stack (mg/level.py — the CPU oracle),
+exact algebraic identities (R P = I, Galerkin A_c = R A P), and the
+true-residual self-oracle (SURVEY.md §5).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuqcd import su3
+from tpuqcd.fields import apply_boundary_phase_dev, full_to_eo
+from tpuqcd.lattice import Lattice
+from tpuqcd.mg.device import (DeviceCoarseTransfer, DeviceFineLevel,
+                              DeviceFineTransfer, build_coarse_device)
+from tpuqcd.mg.dsolve import DeviceMG, DeviceMGParams
+from tpuqcd.mg.level import FineTMLevel
+from tpuqcd.ops.layout import gauge_from_device, spinor_to_device
+from tpuqcd.utils import pkalg as pk
+from tpuqcd.utils.packed import pack_gauge
+
+LAT = Lattice((4, 4, 4, 8))
+KAPPA, MU = 0.15, 0.1
+
+
+def _gauge():
+    return apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), LAT), LAT)
+
+
+def _full_to_pk(v_full, lat):
+    """host-MG field [T, Z, Y, X, 12] complex -> [2ri, 2par, 4, 3, T, Z, S]."""
+    sc = v_full.reshape(*v_full.shape[:-1], 4, 3)
+    eo = full_to_eo(sc, lat)
+    dev = spinor_to_device(eo, lat)             # [2par, 4, 3, T, Z, S]
+    return jnp.stack([jnp.real(dev), jnp.imag(dev)]).astype(jnp.float32)
+
+
+def _pk_to_full(v_pk, lat):
+    from tpuqcd.fields import eo_to_full
+    from tpuqcd.ops.layout import spinor_from_device
+    dev = jax.lax.complex(v_pk[0], v_pk[1])
+    eo = spinor_from_device(dev, lat)
+    full = eo_to_full(eo, lat)
+    return full.reshape(*full.shape[:-2], 12)
+
+
+def _host_level(u_dev):
+    u_full = gauge_from_device(u_dev, LAT)
+    from tpuqcd.fields import gauge_eo_to_full
+    u_f = gauge_eo_to_full(u_full, LAT)
+    return FineTMLevel(lat=LAT, u=u_f, kappa=KAPPA, mu=MU)
+
+
+def _rand_full(key):
+    kr, ki = jax.random.split(key)
+    shape = (LAT.Lt, LAT.Lz, LAT.Ly, LAT.Lx, 12)
+    return jax.lax.complex(jax.random.normal(kr, shape, jnp.float32),
+                           jax.random.normal(ki, shape, jnp.float32))
+
+
+def test_cholesky_pk_vs_numpy(rng):
+    n, sites = 5, 7
+    a = rng.normal(size=(sites, n, n)) + 1j * rng.normal(size=(sites, n, n))
+    g = np.einsum("sij,skj->sik", a, a.conj()) + 3 * np.eye(n)
+    g_pk = jnp.asarray(np.stack([g.real, g.imag]).transpose(0, 2, 3, 1),
+                       dtype=jnp.float32)       # [2, n, n, sites]
+    L = pk.cholesky_pk(g_pk, n)
+    Linv = pk.tril_inverse_pk(L, n)
+    Lc = np.asarray(L[0] + 1j * L[1]).transpose(2, 0, 1)
+    ref = np.linalg.cholesky(g)
+    np.testing.assert_allclose(Lc, ref, rtol=2e-4, atol=2e-4)
+    Ic = np.einsum("ijs,jks->iks", np.asarray(Linv[0] + 1j * Linv[1]),
+                   np.asarray(L[0] + 1j * L[1]))
+    np.testing.assert_allclose(
+        Ic, np.broadcast_to(np.eye(n)[:, :, None], Ic.shape), atol=2e-4)
+
+
+def test_device_fine_level_vs_host():
+    """DeviceFineLevel.apply == host FineTMLevel.apply through layout
+    conversion; same for single-hop applies (the probing legs)."""
+    u = _gauge()
+    dev = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU, backend="xla")
+    host = _host_level(u)
+    v = _rand_full(jax.random.PRNGKey(3))
+    v_pk = _full_to_pk(v, LAT)
+
+    got = _pk_to_full(dev.apply(v_pk), LAT)
+    want = host.apply(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5)
+    for mu in range(4):
+        for sign in (+1, -1):
+            got = _pk_to_full(dev.apply_hop(v_pk, mu, sign), LAT)
+            want = host.apply_hop(v, mu, sign)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=5e-5,
+                err_msg=f"hop mu={mu} sign={sign}")
+
+
+def _fine_and_transfer(n_vec=3, block=(2, 2, 2, 2)):
+    u = _gauge()
+    dev = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU, backend="xla")
+    key = jax.random.PRNGKey(11)
+    nulls = jnp.stack([dev.random_field(k)
+                       for k in jax.random.split(key, n_vec)])
+    tr = DeviceFineTransfer(LAT, block, nulls)
+    return dev, tr
+
+
+def test_fine_transfer_rp_identity():
+    dev, tr = _fine_and_transfer()
+    key = jax.random.PRNGKey(5)
+    xc = jax.random.normal(
+        key, (2, tr.n_c, *tr.dims_c[:2], tr.dims_c[2] * tr.dims_c[3]),
+        dtype=jnp.float32)
+    rt = tr.restrict(tr.prolong(xc))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(xc), atol=2e-4)
+
+
+def test_fine_transfer_adjoint():
+    """<restrict(v), w>_c == <v, prolong(w)>_f (R = P^dag)."""
+    dev, tr = _fine_and_transfer()
+    v = dev.random_field(jax.random.PRNGKey(6))
+    w = jax.random.normal(
+        jax.random.PRNGKey(7),
+        (2, tr.n_c, *tr.dims_c[:2], tr.dims_c[2] * tr.dims_c[3]),
+        dtype=jnp.float32)
+    lhs = pk.cdot(tr.restrict(v), w)
+    rhs = pk.cdot(v, tr.prolong(w))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_galerkin_identity_fine():
+    """coarse.apply == R . M . P (exact by construction)."""
+    dev, tr = _fine_and_transfer()
+    coarse = build_coarse_device(dev, tr)
+    vc = coarse.random_field(jax.random.PRNGKey(8))
+    got = coarse.apply(vc)
+    want = tr.restrict(dev.apply(tr.prolong(vc)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_galerkin_identity_coarse_level():
+    """Second coarsening: DeviceCoarseTransfer + probing on a coarse
+    level reproduce R A_1 P."""
+    dev, tr = _fine_and_transfer()
+    c1 = build_coarse_device(dev, tr)
+    nulls = jnp.stack([c1.random_field(k)
+                       for k in jax.random.split(jax.random.PRNGKey(9), 3)])
+    tr2 = DeviceCoarseTransfer(c1.dims, c1.n, (2, 2, 2, 2), nulls)
+    xc = jax.random.normal(
+        jax.random.PRNGKey(10),
+        (2, tr2.n_c, *tr2.dims_c[:2], tr2.dims_c[2] * tr2.dims_c[3]),
+        dtype=jnp.float32)
+    rt = tr2.restrict(tr2.prolong(xc))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(xc), atol=2e-4)
+    c2 = build_coarse_device(c1, tr2)
+    got = c2.apply(xc)
+    want = tr2.restrict(c1.apply(tr2.prolong(xc)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_device_mg_solve_and_certify():
+    """2-level device MG: GCR converges, then defect correction reaches
+    1e-10 in the f64 true residual (the contract tolerance)."""
+    u = _gauge()
+    dev = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU, backend="xla")
+    params = DeviceMGParams(n_vec=(3,), block=((2, 2, 2, 2),),
+                            setup_iters=25, smoother_iters=3,
+                            coarse_iters=16, restart=6)
+    mg = DeviceMG(dev, params)
+    b = dev.random_field(jax.random.PRNGKey(21))
+    res = mg.solve(b, tol=1e-5, maxiter=120)
+    assert res.converged, res.relres
+    # true residual self-oracle in f32
+    r = pk.caxpy(-1.0, 0.0, dev.apply(res.x), b)
+    rel = float(pk.norm2(r) / pk.norm2(b)) ** 0.5
+    assert rel < 5e-5, rel
+
+    x, rel10, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
+                                         max_refine=20)
+    assert rel10 <= 1e-10, rel10

@@ -1,0 +1,456 @@
+"""Device-resident adaptive multigrid (packed-real, TPU-native).
+
+The production MG stack: every solve-path object here lives on the chip
+as packed-real arrays (ri axis first, utils/pkalg.py) and every cycle
+traces into a single XLA program — the TPU-native re-architecture of the
+reference MG (`lib/multigrid.cpp`, `transfer.cpp`, `coarse_op.cu`,
+`dslash_coarse.cu` [U]; SURVEY.md C12, §4.3), built for a backend where
+complex tensors may exist only as jit-internal values.
+
+Representation choices (vs the host mg/{transfer,coarse,vcycle}.py,
+which remain the CPU oracle):
+
+  - fine fields: ``[2(ri), 2(par), 4, 3, T, Z, S]`` — the Pallas Dslash
+    layout with parity stacked, so smoother applies are two fused kernel
+    launches;
+  - transfers store the *raw* near-null vectors V plus the per-aggregate
+    inverse Cholesky factor Linv of the chirality-split Gram matrix
+    (P = W L^{-dag} per aggregate/chirality, W = chirality-projected V):
+    restrict r = Linv (W^dag r), prolong x = W (Linv^dag x).  R P = I
+    exactly, no explicit dense prolongator (which would store the
+    chirality zeros), and the block orthogonalization runs on-device
+    (unrolled complex Cholesky, pkalg.cholesky_pk) — no host QR;
+  - aggregate sums never transpose the big fine arrays: (spin, color,
+    parity) reduce on leading axes, (t, z) blocks reshape on leading
+    axes, and only a coarse-sized intermediate reshapes its lane axis;
+  - coarse levels: fields ``[2, N, Tc, Zc, Sc]`` (Sc = Yc*Xc, no parity
+    split), links ``[2, 9, N, N, Tc, Zc, Sc]`` (4 fwd + 4 bwd + diag) —
+    site axes minor, applies are VPU broadcast-reductions (the coarse
+    operator is bandwidth-bound like the fine Dslash, so elementwise
+    streaming beats an MXU re-layout);
+  - Galerkin construction by colored probing (same algorithm as the host
+    mg/coarse.py) with all 17 probes of one coarse color traced into one
+    jitted call.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lattice import Lattice
+from ..operators import _G5_DIAG, twist_apply_pk
+from ..utils import pkalg as pk
+
+# chirality of each spin in the DeGrand-Rossi basis (g5 = diag(+,+,-,-))
+_CHI_OF_SPIN = tuple(0 if g > 0 else 1 for g in _G5_DIAG)
+_CHI0_SPINS = tuple(s for s in range(4) if _CHI_OF_SPIN[s] == 0)
+_CHI1_SPINS = tuple(s for s in range(4) if _CHI_OF_SPIN[s] == 1)
+
+
+# --------------------------------------------------------------------------
+# fine level
+# --------------------------------------------------------------------------
+
+class DeviceFineLevel:
+    """Full-lattice twisted-mass operator on packed fields.
+
+    M = (1 + 2 i kappa mu f g5) - kappa D over both parities; fields
+    [2(ri), 2(par), 4, 3, T, Z, S].  ``backend="pallas"`` runs the hot
+    applies through the fused kernel (with reconstruct-12 links);
+    ``"xla"`` is the CPU-testable path.  Hop applies (setup/probing only)
+    always use the XLA packed dslash with the `dirs` filter.
+    """
+
+    def __init__(self, lat: Lattice, u_pk: jax.Array, kappa: float,
+                 mu: float = 0.0, flavor: int = +1, backend: str = "pallas",
+                 interpret: bool = False, t_boundary: int = -1):
+        self.lat = lat
+        self.u_pk = u_pk
+        self.u12_pk = u_pk[:, :, :2] if backend == "pallas" else None
+        self.kappa = float(kappa)
+        self.mu = float(mu)
+        self.flavor = int(flavor)
+        self.backend = backend
+        self.interpret = interpret
+        self.t_boundary = int(t_boundary)
+
+    @property
+    def n(self) -> int:
+        return 12
+
+    def _dslash(self, psi_par, src_parity):
+        if self.backend == "pallas":
+            from ..ops.dslash_pallas import dslash_eo_pallas
+            return dslash_eo_pallas(self.u12_pk, psi_par, src_parity,
+                                    self.lat, interpret=self.interpret,
+                                    t_boundary=self.t_boundary)
+        from ..ops.dslash_xla import dslash_eo_dev_ri
+        return dslash_eo_dev_ri(self.u_pk, psi_par, src_parity, self.lat)
+
+    @staticmethod
+    def _join(oe, oo):
+        """two [2ri, 4, 3, T, Z, S] parity halves -> [2ri, 2par, ...]."""
+        return jnp.stack([oe, oo], axis=1)
+
+    @staticmethod
+    def _split(v):
+        return (jnp.stack([v[0, 0], v[1, 0]]),
+                jnp.stack([v[0, 1], v[1, 1]]))
+
+    def apply(self, v: jax.Array) -> jax.Array:
+        """v [2, 2, 4, 3, T, Z, S] -> M v (same layout)."""
+        ve, vo = self._split(v)
+        de = self._dslash(vo, 1)             # result on even sites
+        do = self._dslash(ve, 0)
+        k = self.kappa
+        oe = twist_apply_pk(ve, k, self.mu, self.flavor) - k * de
+        oo = twist_apply_pk(vo, k, self.mu, self.flavor) - k * do
+        return self._join(oe, oo)
+
+    def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
+        """Single hop term of M (including the -kappa), both parities."""
+        from ..ops.dslash_xla import dslash_eo_dev_ri
+        ve, vo = self._split(v)
+        de = dslash_eo_dev_ri(self.u_pk, vo, 1, self.lat,
+                              dirs=((mu, sign),))
+        do = dslash_eo_dev_ri(self.u_pk, ve, 0, self.lat,
+                              dirs=((mu, sign),))
+        return self._join(-self.kappa * de, -self.kappa * do)
+
+    def random_field(self, key) -> jax.Array:
+        shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,
+                 self.lat.Ly * self.lat.Lx // 2)
+        return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# coarse level
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DeviceCoarseLevel:
+    """Nearest-neighbor coarse operator, dense links, packed layout.
+
+    links [2(ri), 9, N, N, Tc, Zc, Sc]: slots 0-3 forward mu, 4-7
+    backward mu, 8 diagonal.  (A v)(y) = X[y] v(y) + sum_mu Y+_mu[y]
+    v(y+mu) + Y-_mu[y] v(y-mu) — reference dslash_coarse.cu [U].
+    """
+    dims: tuple[int, int, int, int]          # (Tc, Zc, Yc, Xc)
+    n: int
+    links: jax.Array
+
+    @property
+    def Xc(self) -> int:
+        return self.dims[3]
+
+    def _shift(self, v, mu, sign):
+        """fetch v(x + sign*mu); v [..., Tc, Zc, Sc], Sc = Yc*Xc flat."""
+        if mu == 3:
+            return jnp.roll(v, -sign, axis=-3)
+        if mu == 2:
+            return jnp.roll(v, -sign, axis=-2)
+        if mu == 1:
+            return jnp.roll(v, -sign * self.Xc, axis=-1)
+        Sc = v.shape[-1]
+        xi = jnp.arange(Sc, dtype=jnp.int32) % self.Xc
+        if sign == +1:
+            base = jnp.roll(v, -1, axis=-1)
+            fix = jnp.roll(v, self.Xc - 1, axis=-1)
+            return jnp.where(xi == self.Xc - 1, fix, base)
+        base = jnp.roll(v, 1, axis=-1)
+        fix = jnp.roll(v, -(self.Xc - 1), axis=-1)
+        return jnp.where(xi == 0, fix, base)
+
+    @staticmethod
+    def _cmul(L, w):
+        """L [2, N, N, ...] x w [2, N, ...] -> [2, N, ...]."""
+        r = (L[0] * w[0][None] - L[1] * w[1][None]).sum(axis=1)
+        i = (L[0] * w[1][None] + L[1] * w[0][None]).sum(axis=1)
+        return jnp.stack([r, i])
+
+    def apply(self, v: jax.Array) -> jax.Array:
+        out = self._cmul(self.links[:, 8], v)
+        for mu in range(4):
+            out = out + self._cmul(self.links[:, mu],
+                                   self._shift(v, mu, +1))
+            out = out + self._cmul(self.links[:, 4 + mu],
+                                   self._shift(v, mu, -1))
+        return out
+
+    def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
+        slot = mu if sign == +1 else 4 + mu
+        return self._cmul(self.links[:, slot], self._shift(v, mu, sign))
+
+    def boosted(self, delta: float) -> "DeviceCoarseLevel":
+        """Twisted-mass coarse-grid mu boost: diag += i * delta * g5_c
+        (g5_c = +1 on the first N/2 dof, -1 on the rest;
+        arXiv:1710.06198)."""
+        h = self.n // 2
+        g5 = np.concatenate([np.ones(h, np.float32),
+                             -np.ones(self.n - h, np.float32)])
+        idx = jnp.arange(self.n)
+        add = jnp.asarray(delta * g5)[:, None, None, None]
+        diag_i = self.links[1, 8].at[idx, idx].add(add)
+        return dataclasses.replace(self, links=self.links.at[1, 8]
+                                   .set(diag_i))
+
+    def random_field(self, key) -> jax.Array:
+        return jax.random.normal(
+            key, (2, self.n, self.dims[0], self.dims[1],
+                  self.dims[2] * self.dims[3]), dtype=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# transfers
+# --------------------------------------------------------------------------
+
+class _LinvMixin:
+    """restrict/prolong in terms of the subclass's raw aggregate
+    contraction ``_wdag`` (r -> W^dag r, [2, 2chir, n, Tc, Zc, Sc]) and
+    expansion ``_vmul`` (coefficients [2, 2chir, n, Tc, Zc, Sc] -> fine
+    field)."""
+
+    def _apply_linv(self, wd):
+        lr, li = self.linv[0], self.linv[1]      # [2chir, n, n, ...]
+        wr, wi = wd[0], wd[1]                    # [2chir, n, ...]
+        rr = (lr * wr[:, None] - li * wi[:, None]).sum(axis=2)
+        ri = (lr * wi[:, None] + li * wr[:, None]).sum(axis=2)
+        return jnp.stack([rr, ri])               # [2, 2chir, n, ...]
+
+    def _apply_linv_dag(self, xc):
+        """tmp[chi, k] = sum_l conj(Linv[chi, l, k]) xc[chi, l]."""
+        lr, li = self.linv[0], self.linv[1]
+        xr, xi = xc[0], xc[1]
+        tr = (lr * xr[:, :, None] + li * xi[:, :, None]).sum(axis=1)
+        ti = (lr * xi[:, :, None] - li * xr[:, :, None]).sum(axis=1)
+        return jnp.stack([tr, ti])               # [2, 2chir, n, ...]
+
+    @property
+    def n_c(self) -> int:
+        return 2 * self.n_vec
+
+    def restrict(self, r: jax.Array) -> jax.Array:
+        wd = self._wdag(r)
+        rc = self._apply_linv(wd)                # [2, 2chir, n, Tc, Zc, Sc]
+        s = rc.shape
+        return rc.reshape(s[0], s[1] * s[2], *s[3:])
+
+    def prolong(self, xc: jax.Array) -> jax.Array:
+        s = xc.shape
+        xc2 = xc.reshape(s[0], 2, s[1] // 2, *s[2:])
+        return self._vmul(self._apply_linv_dag(xc2))
+
+    def gram_linv(self) -> jax.Array:
+        """Linv from the raw vectors: per (aggregate, chirality) Gram ->
+        unrolled complex Cholesky -> triangular inverse (on device)."""
+        cols = [self._wdag(self.v_pk[ll]) for ll in range(self.n_vec)]
+        G = jnp.stack(cols, axis=3)              # [2, 2chir, n_k, n_l, ...]
+        linvs = []
+        for c in range(2):
+            L = pk.cholesky_pk(G[:, c], self.n_vec)
+            linvs.append(pk.tril_inverse_pk(L, self.n_vec))
+        return jnp.stack(linvs, axis=1)          # [2, 2chir, n, n, ...]
+
+
+class DeviceFineTransfer(_LinvMixin):
+    """fine [2, 2par, 4, 3, T, Z, S] <-> coarse [2, 2*n_vec, Tc, Zc, Sc].
+
+    Chirality is the g5 spin split.  The aggregate geometry folds the
+    even-odd x packing: with block (bt, bz, by, bx), bx even, the
+    aggregate x-index of a packed site is xh // (bx/2) for both
+    parities (x = 2*xh + parity offset stays inside the block).
+    """
+
+    def __init__(self, lat: Lattice, block: tuple[int, int, int, int],
+                 v_pk: jax.Array, linv: jax.Array | None = None):
+        bt, bz, by, bx = block
+        assert bx % 2 == 0, "x block must be even (eo packing)"
+        assert (lat.Lt % bt == 0 and lat.Lz % bz == 0 and
+                lat.Ly % by == 0 and lat.Lx % bx == 0)
+        self.lat = lat
+        self.block = block
+        self.v_pk = v_pk                       # [n, 2, 2par, 4, 3, T, Z, S]
+        self.n_vec = v_pk.shape[0]
+        self.dims_c = (lat.Lt // bt, lat.Lz // bz, lat.Ly // by,
+                       lat.Lx // bx)
+        self.linv = self.gram_linv() if linv is None else linv
+
+    def _wdag(self, r: jax.Array) -> jax.Array:
+        # per-vector accumulation keeps peak intermediates one-field-sized
+        # (a single [n, 2, 2par, 4, 3, T, Z, S] product would be n x the
+        # fine field in HBM if XLA declined to fuse it)
+        rr, ri = r[0], r[1]
+        bt, bz, by, bx = self.block
+        Tc, Zc, Yc, Xc = self.dims_c
+        S = rr.shape[-1]
+        cols = []
+        for k in range(self.n_vec):
+            qr, qi = self.v_pk[k, 0], self.v_pk[k, 1]  # [2par, 4, 3, T, Z, S]
+            pr = (qr * rr + qi * ri).sum(axis=(0, 2))  # conj(V) r -> [4,T,Z,S]
+            pi = (qr * ri - qi * rr).sum(axis=(0, 2))
+            x = jnp.stack([pr, pi])                    # [2, 4, T, Z, S]
+            x = jnp.stack(
+                [sum(x[:, s] for s in _CHI0_SPINS),
+                 sum(x[:, s] for s in _CHI1_SPINS)], axis=1)
+            x = x.reshape(2, 2, Tc, bt, Zc, bz, S).sum(axis=(3, 5))
+            x = x.reshape(2, 2, Tc, Zc, Yc, by, Xc, bx // 2).sum(axis=(5, 7))
+            cols.append(x.reshape(2, 2, Tc, Zc, Yc * Xc))
+        return jnp.stack(cols, axis=2)          # [2, 2chir, n, Tc, Zc, Sc]
+
+    def _vmul(self, tmp: jax.Array) -> jax.Array:
+        """tmp [2, 2chir, n, Tc, Zc, Sc] -> fine field sum_k V_k tmp_k."""
+        bt, bz, by, bx = self.block
+        Tc, Zc, Yc, Xc = self.dims_c
+        n = self.n_vec
+        T, Z = self.lat.Lt, self.lat.Lz
+        S = self.lat.Ly * self.lat.Lx // 2
+        t = tmp.reshape(2, 2, n, Tc, Zc, Yc, Xc)
+        t = jnp.broadcast_to(t[..., None, :, None],
+                             (2, 2, n, Tc, Zc, Yc, by, Xc, bx // 2))
+        t = t.reshape(2, 2, n, Tc, Zc, S)
+        t = jnp.take(t, jnp.asarray(_CHI_OF_SPIN), axis=1)
+        # t [2ri, 4spin, n, Tc, Zc, S]; accumulate over k (see _wdag note)
+        out_r = out_i = 0.0
+        for k in range(n):
+            # broadcast axes [2par, 4spin, 3col, Tc, bt, Zc, bz, S]
+            wr = t[0, :, k][None, :, None, :, None, :, None, :]
+            wi = t[1, :, k][None, :, None, :, None, :, None, :]
+            vq = self.v_pk[k].reshape(2, 2, 4, 3, Tc, bt, Zc, bz, S)
+            out_r = out_r + (vq[0] * wr - vq[1] * wi)
+            out_i = out_i + (vq[0] * wi + vq[1] * wr)
+        out = jnp.stack([out_r, out_i])  # [2, 2par, 4, 3, Tc, bt, Zc, bz, S]
+        return out.reshape(2, 2, 4, 3, T, Z, S)
+
+
+class DeviceCoarseTransfer(_LinvMixin):
+    """coarse [2, N, T, Z, Sf] <-> coarser [2, 2*n_vec, Tc, Zc, Sc].
+
+    Chirality on a coarse level is the exact N/2 dof split (the
+    prolongator preserves chirality at every level).
+    """
+
+    def __init__(self, dims: tuple[int, int, int, int], n_f: int,
+                 block: tuple[int, int, int, int], v_pk: jax.Array,
+                 linv: jax.Array | None = None):
+        bt, bz, by, bx = block
+        T, Z, Y, X = dims
+        assert T % bt == 0 and Z % bz == 0 and Y % by == 0 and X % bx == 0
+        self.dims = dims
+        self.n_f = n_f
+        self.block = block
+        self.v_pk = v_pk                       # [n, 2, N, T, Z, Sf]
+        self.n_vec = v_pk.shape[0]
+        self.dims_c = (T // bt, Z // bz, Y // by, X // bx)
+        self.linv = self.gram_linv() if linv is None else linv
+
+    def _wdag(self, r: jax.Array) -> jax.Array:
+        q = self.v_pk
+        pr = q[:, 0] * r[0] + q[:, 1] * r[1]   # [n, N, T, Z, Sf]
+        pi = q[:, 0] * r[1] - q[:, 1] * r[0]
+        x = jnp.stack([pr, pi], axis=1)        # [n, 2, N, T, Z, Sf]
+        h = self.n_f // 2
+        x = jnp.stack([x[:, :, :h].sum(axis=2),
+                       x[:, :, h:].sum(axis=2)], axis=2)
+        bt, bz, by, bx = self.block
+        Tc, Zc, Yc, Xc = self.dims_c
+        n, Sf = x.shape[0], x.shape[-1]
+        x = x.reshape(n, 2, 2, Tc, bt, Zc, bz, Sf).sum(axis=(4, 6))
+        x = x.reshape(n, 2, 2, Tc, Zc, Yc, by, Xc, bx).sum(axis=(6, 8))
+        x = x.reshape(n, 2, 2, Tc, Zc, Yc * Xc)
+        return jnp.moveaxis(x, 0, 2)           # [2, 2chir, n, Tc, Zc, Sc]
+
+    def _vmul(self, tmp: jax.Array) -> jax.Array:
+        bt, bz, by, bx = self.block
+        Tc, Zc, Yc, Xc = self.dims_c
+        T, Z, Y, X = self.dims
+        n = self.n_vec
+        h = self.n_f // 2
+        Sf = Y * X
+        t = tmp.reshape(2, 2, n, Tc, Zc, Yc, Xc)
+        t = jnp.broadcast_to(t[..., None, :, None],
+                             (2, 2, n, Tc, Zc, Yc, by, Xc, bx))
+        t = t.reshape(2, 2, n, Tc, Zc, Sf)
+        chi = jnp.asarray([0] * h + [1] * (self.n_f - h))
+        t = jnp.take(t, chi, axis=1)           # [2, N, n, Tc, Zc, Sf]
+        # target axes [N, n, Tc, bt, Zc, bz, Sf]
+        wr = t[0][:, :, :, None, :, None, :]
+        wi = t[1][:, :, :, None, :, None, :]
+        vq = self.v_pk.reshape(n, 2, self.n_f, Tc, bt, Zc, bz, Sf)
+        vr = jnp.moveaxis(vq[:, 0], 0, 1)      # [N, n, Tc, bt, Zc, bz, Sf]
+        vi = jnp.moveaxis(vq[:, 1], 0, 1)
+        out_r = (vr * wr - vi * wi).sum(axis=1)
+        out_i = (vr * wi + vi * wr).sum(axis=1)
+        out = jnp.stack([out_r, out_i])        # [2, N, Tc, bt, Zc, bz, Sf]
+        return out.reshape(2, self.n_f, T, Z, Sf)
+
+
+# --------------------------------------------------------------------------
+# Galerkin coarse construction (colored probing, device)
+# --------------------------------------------------------------------------
+
+def _mu_parity_masks(dims_c):
+    """[4] masks [Tc, Zc, Sc] of the mu-coordinate parity (f32 0/1)."""
+    Tc, Zc, Yc, Xc = dims_c
+    t = np.arange(Tc)[:, None, None]
+    z = np.arange(Zc)[None, :, None]
+    s = np.arange(Yc * Xc)[None, None, :]
+    y, x = s // Xc, s % Xc
+    coords = (x, y, z, t)
+    return [np.broadcast_to(coords[mu] % 2,
+                            (Tc, Zc, Yc * Xc)).astype(np.float32)
+            for mu in range(4)]
+
+
+def build_coarse_device(level, transfer) -> DeviceCoarseLevel:
+    """A_c = R A P as explicit nearest-neighbor links, by colored probing
+    (one jitted call per coarse color runs all 17 probes; see the host
+    mg/coarse.py for the algorithm derivation)."""
+    dims_c = transfer.dims_c
+    n_c = transfer.n_c
+    Tc, Zc, Yc, Xc = dims_c
+    Sc = Yc * Xc
+    masks = [jnp.asarray(m) for m in _mu_parity_masks(dims_c)]
+
+    @jax.jit
+    def probe_color(ek):
+        """ek one-hot [n_c] -> (fwd[4], bwd[4], full) coarse columns."""
+        base = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
+        base = base.at[0].set(ek[:, None, None, None])
+        fwd, bwd = [], []
+        for mu in range(4):
+            cf = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
+            cb = jnp.zeros_like(cf)
+            for par in (0, 1):
+                src_mask = (masks[mu] == par).astype(jnp.float32)
+                dst_mask = 1.0 - src_mask
+                src = base * src_mask
+                vf = transfer.prolong(src)
+                wf = transfer.restrict(level.apply_hop(vf, mu, +1))
+                cf = cf + wf * dst_mask
+                wb = transfer.restrict(level.apply_hop(vf, mu, -1))
+                cb = cb + wb * dst_mask
+            fwd.append(cf)
+            bwd.append(cb)
+        full = transfer.restrict(level.apply(transfer.prolong(base)))
+        return jnp.stack(fwd), jnp.stack(bwd), full
+
+    fwd_cols, bwd_cols, diag_cols = [], [], []
+    eye = np.eye(n_c, dtype=np.float32)
+    for k in range(n_c):
+        f, b, d = probe_color(jnp.asarray(eye[k]))
+        fwd_cols.append(f)
+        bwd_cols.append(b)
+        diag_cols.append(d)
+    # columns k on a new axis 3 (after [2ri?]): assemble [2, 9, n, n, ...]
+    fwd = jnp.stack(fwd_cols, axis=3)    # [4, 2, n_row, n_col, Tc, Zc, Sc]
+    bwd = jnp.stack(bwd_cols, axis=3)
+    diag = jnp.stack(diag_cols, axis=2)  # [2, n_row, n_col, Tc, Zc, Sc]
+    # full probe contains X + all link contributions; subtract the links
+    diag = diag - fwd.sum(axis=0) - bwd.sum(axis=0)
+    links = jnp.concatenate([jnp.moveaxis(fwd, 0, 1),
+                             jnp.moveaxis(bwd, 0, 1),
+                             diag[:, None]], axis=1)
+    return DeviceCoarseLevel(dims=dims_c, n=n_c, links=links)

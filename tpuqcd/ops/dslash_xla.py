@@ -179,11 +179,17 @@ def _cplx_mul_ri(ar, ai, br, bi, conj_a=False):
 
 
 def dslash_eo_dev_ri(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
-                     lat: Lattice, dagger: bool = False) -> jax.Array:
+                     lat: Lattice, dagger: bool = False,
+                     dirs: tuple = None) -> jax.Array:
     """D_{q<-p} on packed-real fields (utils/packed.py layout).
 
     u_pk [4, 2, 3, 3, 2, T, Z, S]; psi_pk [2, 4, 3, T, Z, S]; any float
     dtype (f64 for the precise operator, f32/bf16 otherwise).
+
+    dirs: optional tuple of (mu, sign) legs to accumulate (sign=+1 the
+    forward (1-g_mu) U psi(x+mu) term, -1 the backward one); None = all
+    8 legs.  Single-leg applies drive the colored-probing Galerkin coarse
+    construction (mg/coarse.py; SURVEY.md C12c).
     """
     from ..gammas import (HALF_PROJ_MINUS, HALF_PROJ_PLUS,
                           HALF_RECON_MINUS, HALF_RECON_PLUS)
@@ -273,23 +279,28 @@ def dslash_eo_dev_ri(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
             else:
                 out[a] = (out[a][0] + r_, out[a][1] + i_)
 
+    legs = dirs if dirs is not None else tuple(
+        (mu, s) for mu in range(4) for s in (+1, -1))
     for mu in range(4):
-        # forward
-        h = combine(hpm[mu], psi_c)  # 2 half-spinors, (re, im) of [3,T,Z,S]
-        h = [(shift_fwd(r_, mu), shift_fwd(i_, mu)) for r_, i_ in h]
-        h = [[(hr[j], hi[j]) for j in range(3)] for hr, hi in h]
-        uh = [su3_mv_ri(u_pk[mu, q], hj, dag=False) for hj in h]
-        uh = [(jnp.stack([c[0] for c in comp]), jnp.stack([c[1] for c in comp]))
-              for comp in uh]
-        accum(combine(hrm[mu], uh))
-        # backward
-        h = combine(hpp[mu], psi_c)
-        h = [[(hr[j], hi[j]) for j in range(3)] for hr, hi in h]
-        uh = [su3_mv_ri(u_pk[mu, p], hj, dag=True) for hj in h]
-        uh = [(shift_bwd(jnp.stack([c[0] for c in comp]), mu),
-               shift_bwd(jnp.stack([c[1] for c in comp]), mu))
-              for comp in uh]
-        accum(combine(hrp[mu], uh))
+        if (mu, +1) in legs:
+            # forward
+            h = combine(hpm[mu], psi_c)  # 2 half-spinors, (re,im) [3,T,Z,S]
+            h = [(shift_fwd(r_, mu), shift_fwd(i_, mu)) for r_, i_ in h]
+            h = [[(hr[j], hi[j]) for j in range(3)] for hr, hi in h]
+            uh = [su3_mv_ri(u_pk[mu, q], hj, dag=False) for hj in h]
+            uh = [(jnp.stack([c[0] for c in comp]),
+                   jnp.stack([c[1] for c in comp]))
+                  for comp in uh]
+            accum(combine(hrm[mu], uh))
+        if (mu, -1) in legs:
+            # backward
+            h = combine(hpp[mu], psi_c)
+            h = [[(hr[j], hi[j]) for j in range(3)] for hr, hi in h]
+            uh = [su3_mv_ri(u_pk[mu, p], hj, dag=True) for hj in h]
+            uh = [(shift_bwd(jnp.stack([c[0] for c in comp]), mu),
+                   shift_bwd(jnp.stack([c[1] for c in comp]), mu))
+                  for comp in uh]
+            accum(combine(hrp[mu], uh))
 
     re = jnp.stack([out[a][0] for a in range(4)])
     im = jnp.stack([out[a][1] for a in range(4)])

@@ -101,3 +101,34 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
         inner_tol=inner_tol, solver=solver)
     x = pc_hp.reconstruct(u_hp, x_e, b_hp)
     return SolveResult(x=x, relres=relres, iters=iters)
+
+
+def setup_multigrid(u_pk: jax.Array, lat: Lattice, *, kappa: float,
+                    mu: float, flavor: int = +1, params=None,
+                    backend: str = "pallas", interpret: bool = False,
+                    verbose: bool = False):
+    """Build the device-resident MG hierarchy (the TPU-native
+    `newMultigridQuda` [U]; SURVEY.md §4.3).  Reuse the returned object
+    across solves — setup dominates a single solve's cost."""
+    from .mg.dsolve import DeviceMG, DeviceMGParams
+    from .mg.device import DeviceFineLevel
+    fine = DeviceFineLevel(lat, u_pk.astype(jnp.float32), kappa, mu,
+                           flavor, backend=backend, interpret=interpret)
+    return DeviceMG(fine, params or DeviceMGParams(), verbose=verbose)
+
+
+def solve_tm_mg(mg, b_pk: jax.Array, *, tol: float = 1e-10,
+                inner_tol: float = 1e-5, maxiter: int = 200,
+                verbose: bool = False) -> SolveResult:
+    """MG-preconditioned solve of the *full* (two-parity) TM system
+    M x = b on the device hierarchy from :func:`setup_multigrid`.
+
+    b_pk: packed source [2(par), 2(ri), 4, 3, T, Z, S]; returns x in the
+    same parity-first layout (f64), with the certified true residual.
+    """
+    b_mg = jnp.swapaxes(b_pk.astype(jnp.float32), 0, 1)
+    x, relres, iters = mg.solve_certified(
+        b_mg, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+        verbose=verbose)
+    return SolveResult(x=jnp.swapaxes(x, 0, 1), relres=relres,
+                       iters=iters)

@@ -1,0 +1,165 @@
+"""Krylov solvers on packed-real (ri-leading) fields — device-resident.
+
+The TPU-resident counterparts of solvers/gcr.py + mg smoothing loops for
+the axon backend, where complex fields may exist only as jit-internal
+values: every routine here takes/returns packed arrays ``x[0]=Re,
+x[1]=Im`` (utils/pkalg.py) and traces completely (lax loops / static
+unrolls), so whole MG cycles run as single XLA programs on the chip.
+
+Reference counterparts: `inv_mr_quda.cpp` (smoother), `inv_gcr_quda.cpp`
+(flexible outer), `inv_bicgstab_quda.cpp` (null-vector setup smoothing)
+[U]; SURVEY.md C11.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import pkalg as pk
+
+
+def mr_smoother_pk(matvec: Callable, b: jax.Array, iters: int = 4,
+                   omega: float = 0.85) -> jax.Array:
+    """Minimal-residual relaxation from x0 = 0 (traced fori_loop)."""
+
+    def body(_, st):
+        x, r = st
+        ar = matvec(r)
+        nr, ni = pk.cdot(ar, r)
+        den = jnp.maximum(pk.norm2(ar), 1e-30)
+        al_r, al_i = omega * nr / den, omega * ni / den
+        return (pk.caxpy(al_r, al_i, r, x), pk.caxpy(-al_r, -al_i, ar, r))
+
+    x, _ = jax.lax.fori_loop(0, iters, body, (jnp.zeros_like(b), b))
+    return x
+
+
+def _gcr_cycle(matvec: Callable, precond: Callable, x, r, m: int):
+    """One flexible-GCR restart cycle of m iterations, fully traced with
+    lax loops and stacked (Z, V) direction buffers — the graph contains
+    ONE matvec/precond instance regardless of m (essential when the
+    preconditioner is a whole MG V-cycle)."""
+    Z = jnp.zeros((m, *x.shape), x.dtype)
+    V = jnp.zeros_like(Z)
+
+    def body(i, st):
+        x, r, Z, V = st
+        z = precond(r)
+        v = matvec(z)
+
+        def ortho(j, zv):
+            z, v = zv
+            br, bi = pk.cdot(V[j], v)
+            return (pk.caxpy(-br, -bi, Z[j], z),
+                    pk.caxpy(-br, -bi, V[j], v))
+
+        z, v = jax.lax.fori_loop(0, i, ortho, (z, v))
+        inv = 1.0 / jnp.sqrt(jnp.maximum(pk.norm2(v), 1e-30))
+        z, v = inv * z, inv * v
+        ar, ai = pk.cdot(v, r)
+        x = pk.caxpy(ar, ai, z, x)
+        r = pk.caxpy(-ar, -ai, v, r)
+        return (x, r, Z.at[i].set(z), V.at[i].set(v))
+
+    x, r, _, _ = jax.lax.fori_loop(0, m, body, (x, r, Z, V))
+    return x, r
+
+
+def gcr_fixed_pk(matvec: Callable, b: jax.Array, *, iters: int,
+                 restart: int = 8,
+                 precond: Callable | None = None) -> jax.Array:
+    """Fixed-work flexible GCR (no convergence exit — coarsest-level MG
+    solve; the V-cycle is a preconditioner, fixed work is fine and keeps
+    the trace static)."""
+    if precond is None:
+        def precond(r):
+            return r
+    x = jnp.zeros_like(b)
+    r = b
+    done = 0
+    while done < iters:
+        m = min(restart, iters - done)
+        x, r = _gcr_cycle(matvec, precond, x, r, m)
+        done += m
+        if done < iters:
+            r = pk.caxpy(-1.0, 0.0, matvec(x), b)  # true residual
+    return x
+
+
+class GCRResultPk(NamedTuple):
+    x: jax.Array
+    relres: float
+    iters: int
+    converged: bool
+
+
+def gcr_pk(matvec: Callable, b: jax.Array, *,
+           precond: Callable | None = None, tol: float = 1e-8,
+           maxiter: int = 200, restart: int = 8,
+           x0: jax.Array | None = None) -> GCRResultPk:
+    """Right-preconditioned flexible GCR with per-cycle host sync.
+
+    One jitted function runs a whole `restart` cycle (unrolled inner
+    orthogonalization), so through the remote-TPU tunnel there is a
+    single host round-trip per `restart` iterations.
+    """
+    if precond is None:
+        def precond(r):
+            return r
+
+    @jax.jit
+    def cycle(x, r):
+        x, r = _gcr_cycle(matvec, precond, x, r, restart)
+        return x, r, pk.norm2(r)
+
+    @jax.jit
+    def true_residual(x):
+        r = pk.caxpy(-1.0, 0.0, matvec(x), b)
+        return r, pk.norm2(r)
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bsq = float(pk.norm2(b))
+    tol2 = tol * tol * bsq
+    r, rsq = true_residual(x)
+    total = 0
+    while total < maxiter and float(rsq) > tol2:
+        x, _, _ = cycle(x, r)
+        r, rsq = true_residual(x)  # recompute truth once per cycle
+        total += restart
+    relres = (float(rsq) / max(bsq, 1e-300)) ** 0.5
+    return GCRResultPk(x=x, relres=relres, iters=total,
+                       converged=float(rsq) <= tol2)
+
+
+def bicgstab_fixed_pk(matvec: Callable, b: jax.Array,
+                      iters: int) -> jax.Array:
+    """Fixed-iteration BiCGStab from x0=0 (MG null-vector setup smoothing;
+    reference generateNullVectors recipe [U], SURVEY.md §4.3)."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = jnp.zeros_like(b)
+    v = jnp.zeros_like(b)
+    one = (jnp.float32(1.0), jnp.float32(0.0))
+
+    def body(_, st):
+        x, r, p, v, rho, alpha, omega = st
+        rho_new = pk.cdot(b, r)          # rhat = b
+        beta = pk.smul(pk.sdiv(rho_new, rho), pk.sdiv(alpha, omega))
+        t1 = pk.caxpy(-omega[0], -omega[1], v, p)
+        p = pk.caxpy(beta[0], beta[1], t1, r)
+        v = matvec(p)
+        alpha = pk.sdiv(rho_new, pk.cdot(b, v))
+        s = pk.caxpy(-alpha[0], -alpha[1], v, r)
+        t = matvec(s)
+        om_den = jnp.maximum(pk.norm2(t), 1e-30)
+        tsr, tsi = pk.cdot(t, s)
+        omega = (tsr / om_den, tsi / om_den)
+        x = pk.caxpy(alpha[0], alpha[1], p, x)
+        x = pk.caxpy(omega[0], omega[1], s, x)
+        r = pk.caxpy(-omega[0], -omega[1], t, s)
+        return (x, r, p, v, rho_new, alpha, omega)
+
+    st = (x, r, p, v, one, one, one)
+    return jax.lax.fori_loop(0, iters, body, st)[0]
