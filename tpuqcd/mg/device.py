@@ -35,6 +35,7 @@ which remain the CPU oracle):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,11 @@ _CHI1_SPINS = tuple(s for s in range(4) if _CHI_OF_SPIN[s] == 1)
 # fine level
 # --------------------------------------------------------------------------
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["u_pk", "u12_pk"],
+         meta_fields=["lat", "kappa", "mu", "flavor", "backend",
+                      "interpret", "t_boundary"])
+@dataclasses.dataclass
 class DeviceFineLevel:
     """Full-lattice twisted-mass operator on packed fields.
 
@@ -62,20 +68,26 @@ class DeviceFineLevel:
     applies through the fused kernel (with reconstruct-12 links);
     ``"xla"`` is the CPU-testable path.  Hop applies (setup/probing only)
     always use the XLA packed dslash with the `dirs` filter.
-    """
 
-    def __init__(self, lat: Lattice, u_pk: jax.Array, kappa: float,
-                 mu: float = 0.0, flavor: int = +1, backend: str = "pallas",
-                 interpret: bool = False, t_boundary: int = -1):
-        self.lat = lat
-        self.u_pk = u_pk
-        self.u12_pk = u_pk[:, :, :2] if backend == "pallas" else None
-        self.kappa = float(kappa)
-        self.mu = float(mu)
-        self.flavor = int(flavor)
-        self.backend = backend
-        self.interpret = interpret
-        self.t_boundary = int(t_boundary)
+    Registered as a pytree (gauge arrays = children) so it can cross jit
+    boundaries as an ARGUMENT — closure capture would embed the gauge as
+    HLO constants, which the remote-compile service rejects at
+    production sizes (HTTP 413).
+    """
+    lat: Lattice
+    u_pk: jax.Array
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+    backend: str = "pallas"
+    interpret: bool = False
+    t_boundary: int = -1
+    u12_pk: jax.Array | None = None
+
+    def __post_init__(self):
+        if self.u12_pk is None and self.backend == "pallas" \
+                and isinstance(self.u_pk, jax.Array):
+            self.u12_pk = self.u_pk[:, :, :2]
 
     @property
     def n(self) -> int:
@@ -130,6 +142,8 @@ class DeviceFineLevel:
 # coarse level
 # --------------------------------------------------------------------------
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["links"], meta_fields=["dims", "n"])
 @dataclasses.dataclass
 class DeviceCoarseLevel:
     """Nearest-neighbor coarse operator, dense links, packed layout.
@@ -137,6 +151,7 @@ class DeviceCoarseLevel:
     links [2(ri), 9, N, N, Tc, Zc, Sc]: slots 0-3 forward mu, 4-7
     backward mu, 8 diagonal.  (A v)(y) = X[y] v(y) + sum_mu Y+_mu[y]
     v(y+mu) + Y-_mu[y] v(y-mu) — reference dslash_coarse.cu [U].
+    Pytree: links are children (see DeviceFineLevel note).
     """
     dims: tuple[int, int, int, int]          # (Tc, Zc, Yc, Xc)
     n: int
@@ -255,6 +270,9 @@ class _LinvMixin:
         return jnp.stack(linvs, axis=1)          # [2, 2chir, n, n, ...]
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["v_pk", "linv"], meta_fields=["lat", "block"])
+@dataclasses.dataclass
 class DeviceFineTransfer(_LinvMixin):
     """fine [2, 2par, 4, 3, T, Z, S] <-> coarse [2, 2*n_vec, Tc, Zc, Sc].
 
@@ -262,21 +280,31 @@ class DeviceFineTransfer(_LinvMixin):
     even-odd x packing: with block (bt, bz, by, bx), bx even, the
     aggregate x-index of a packed site is xh // (bx/2) for both
     parities (x = 2*xh + parity offset stays inside the block).
+    Pytree: null vectors + Linv are children (see DeviceFineLevel note).
     """
+    lat: Lattice
+    block: tuple[int, int, int, int]
+    v_pk: jax.Array                        # [n, 2, 2par, 4, 3, T, Z, S]
+    linv: jax.Array | None = None
 
-    def __init__(self, lat: Lattice, block: tuple[int, int, int, int],
-                 v_pk: jax.Array, linv: jax.Array | None = None):
-        bt, bz, by, bx = block
+    def __post_init__(self):
+        bt, bz, by, bx = self.block
+        lat = self.lat
         assert bx % 2 == 0, "x block must be even (eo packing)"
         assert (lat.Lt % bt == 0 and lat.Lz % bz == 0 and
                 lat.Ly % by == 0 and lat.Lx % bx == 0)
-        self.lat = lat
-        self.block = block
-        self.v_pk = v_pk                       # [n, 2, 2par, 4, 3, T, Z, S]
-        self.n_vec = v_pk.shape[0]
-        self.dims_c = (lat.Lt // bt, lat.Lz // bz, lat.Ly // by,
-                       lat.Lx // bx)
-        self.linv = self.gram_linv() if linv is None else linv
+        if self.linv is None and isinstance(self.v_pk, jax.Array):
+            self.linv = self.gram_linv()
+
+    @property
+    def n_vec(self) -> int:
+        return self.v_pk.shape[0]
+
+    @property
+    def dims_c(self):
+        bt, bz, by, bx = self.block
+        return (self.lat.Lt // bt, self.lat.Lz // bz, self.lat.Ly // by,
+                self.lat.Lx // bx)
 
     def _wdag(self, r: jax.Array) -> jax.Array:
         # per-vector accumulation keeps peak intermediates one-field-sized
@@ -325,26 +353,39 @@ class DeviceFineTransfer(_LinvMixin):
         return out.reshape(2, 2, 4, 3, T, Z, S)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["v_pk", "linv"],
+         meta_fields=["dims", "n_f", "block"])
+@dataclasses.dataclass
 class DeviceCoarseTransfer(_LinvMixin):
     """coarse [2, N, T, Z, Sf] <-> coarser [2, 2*n_vec, Tc, Zc, Sc].
 
     Chirality on a coarse level is the exact N/2 dof split (the
-    prolongator preserves chirality at every level).
+    prolongator preserves chirality at every level).  Pytree like
+    DeviceFineTransfer.
     """
+    dims: tuple[int, int, int, int]
+    n_f: int
+    block: tuple[int, int, int, int]
+    v_pk: jax.Array                        # [n, 2, N, T, Z, Sf]
+    linv: jax.Array | None = None
 
-    def __init__(self, dims: tuple[int, int, int, int], n_f: int,
-                 block: tuple[int, int, int, int], v_pk: jax.Array,
-                 linv: jax.Array | None = None):
-        bt, bz, by, bx = block
-        T, Z, Y, X = dims
+    def __post_init__(self):
+        bt, bz, by, bx = self.block
+        T, Z, Y, X = self.dims
         assert T % bt == 0 and Z % bz == 0 and Y % by == 0 and X % bx == 0
-        self.dims = dims
-        self.n_f = n_f
-        self.block = block
-        self.v_pk = v_pk                       # [n, 2, N, T, Z, Sf]
-        self.n_vec = v_pk.shape[0]
-        self.dims_c = (T // bt, Z // bz, Y // by, X // bx)
-        self.linv = self.gram_linv() if linv is None else linv
+        if self.linv is None and isinstance(self.v_pk, jax.Array):
+            self.linv = self.gram_linv()
+
+    @property
+    def n_vec(self) -> int:
+        return self.v_pk.shape[0]
+
+    @property
+    def dims_c(self):
+        bt, bz, by, bx = self.block
+        T, Z, Y, X = self.dims
+        return (T // bt, Z // bz, Y // by, X // bx)
 
     def _wdag(self, r: jax.Array) -> jax.Array:
         q = self.v_pk
@@ -404,43 +445,46 @@ def _mu_parity_masks(dims_c):
             for mu in range(4)]
 
 
+@jax.jit
+def _probe_color(level, transfer, ek):
+    """ek one-hot [n_c] -> (fwd[4], bwd[4], full) coarse columns.
+
+    level/transfer are pytree arguments (NOT closure captures — see the
+    DeviceFineLevel pytree note)."""
+    Tc, Zc, Yc, Xc = transfer.dims_c
+    Sc = Yc * Xc
+    n_c = transfer.n_c
+    masks = [jnp.asarray(m) for m in _mu_parity_masks(transfer.dims_c)]
+    base = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
+    base = base.at[0].set(ek[:, None, None, None])
+    fwd, bwd = [], []
+    for mu in range(4):
+        cf = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
+        cb = jnp.zeros_like(cf)
+        for par in (0, 1):
+            src_mask = (masks[mu] == par).astype(jnp.float32)
+            dst_mask = 1.0 - src_mask
+            src = base * src_mask
+            vf = transfer.prolong(src)
+            wf = transfer.restrict(level.apply_hop(vf, mu, +1))
+            cf = cf + wf * dst_mask
+            wb = transfer.restrict(level.apply_hop(vf, mu, -1))
+            cb = cb + wb * dst_mask
+        fwd.append(cf)
+        bwd.append(cb)
+    full = transfer.restrict(level.apply(transfer.prolong(base)))
+    return jnp.stack(fwd), jnp.stack(bwd), full
+
+
 def build_coarse_device(level, transfer) -> DeviceCoarseLevel:
     """A_c = R A P as explicit nearest-neighbor links, by colored probing
     (one jitted call per coarse color runs all 17 probes; see the host
     mg/coarse.py for the algorithm derivation)."""
-    dims_c = transfer.dims_c
     n_c = transfer.n_c
-    Tc, Zc, Yc, Xc = dims_c
-    Sc = Yc * Xc
-    masks = [jnp.asarray(m) for m in _mu_parity_masks(dims_c)]
-
-    @jax.jit
-    def probe_color(ek):
-        """ek one-hot [n_c] -> (fwd[4], bwd[4], full) coarse columns."""
-        base = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
-        base = base.at[0].set(ek[:, None, None, None])
-        fwd, bwd = [], []
-        for mu in range(4):
-            cf = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
-            cb = jnp.zeros_like(cf)
-            for par in (0, 1):
-                src_mask = (masks[mu] == par).astype(jnp.float32)
-                dst_mask = 1.0 - src_mask
-                src = base * src_mask
-                vf = transfer.prolong(src)
-                wf = transfer.restrict(level.apply_hop(vf, mu, +1))
-                cf = cf + wf * dst_mask
-                wb = transfer.restrict(level.apply_hop(vf, mu, -1))
-                cb = cb + wb * dst_mask
-            fwd.append(cf)
-            bwd.append(cb)
-        full = transfer.restrict(level.apply(transfer.prolong(base)))
-        return jnp.stack(fwd), jnp.stack(bwd), full
-
     fwd_cols, bwd_cols, diag_cols = [], [], []
     eye = np.eye(n_c, dtype=np.float32)
     for k in range(n_c):
-        f, b, d = probe_color(jnp.asarray(eye[k]))
+        f, b, d = _probe_color(level, transfer, jnp.asarray(eye[k]))
         fwd_cols.append(f)
         bwd_cols.append(b)
         diag_cols.append(d)
@@ -453,4 +497,4 @@ def build_coarse_device(level, transfer) -> DeviceCoarseLevel:
     links = jnp.concatenate([jnp.moveaxis(fwd, 0, 1),
                              jnp.moveaxis(bwd, 0, 1),
                              diag[:, None]], axis=1)
-    return DeviceCoarseLevel(dims=dims_c, n=n_c, links=links)
+    return DeviceCoarseLevel(dims=transfer.dims_c, n=n_c, links=links)

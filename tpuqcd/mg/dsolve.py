@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -87,42 +88,52 @@ class DeviceMG:
 
     @staticmethod
     def _gen_null_vectors(level, n_vec, iters, key):
-        gen = jax.jit(
-            lambda v: bicgstab_fixed_pk(level.apply, v, iters))
-
-        @jax.jit
-        def normalize(x):
+        # level passes through jit as a pytree ARGUMENT (closure capture
+        # would embed the gauge/links as HLO constants; the remote
+        # compiler rejects production sizes)
+        @partial(jax.jit, static_argnums=2)
+        def gen(lvl, v, it):
+            x = bicgstab_fixed_pk(lvl.apply, v, it)
             return x / jnp.sqrt(jnp.maximum(pk.norm2(x), 1e-30))
 
         vecs = []
         for _ in range(n_vec):
             key, sub = jax.random.split(key)
-            vecs.append(normalize(gen(level.random_field(sub))))
+            vecs.append(gen(level, level.random_field(sub), iters))
         return jnp.stack(vecs)
 
     # --- solve cycle ------------------------------------------------------
+    # The hierarchy travels through every jit boundary as the explicit
+    # `state` pytree (levels, transfers) — see the DeviceFineLevel note.
 
-    def _vcycle(self, depth: int, b):
+    @property
+    def state(self):
+        return (tuple(self.levels), tuple(self.transfers))
+
+    def _vcycle(self, state, depth: int, b):
         p = self.params
-        lv = self.levels[depth]
-        if depth == len(self.levels) - 1:
+        levels, transfers = state
+        lv = levels[depth]
+        if depth == len(levels) - 1:
             return gcr_fixed_pk(lv.apply, b, iters=p.coarse_iters,
                                 restart=p.restart)
-        tr = self.transfers[depth]
+        tr = transfers[depth]
         x = mr_smoother_pk(lv.apply, b, iters=p.smoother_iters)
         r = pk.caxpy(-1.0, 0.0, lv.apply(x), b)
-        xc = self._vcycle(depth + 1, tr.restrict(r))
+        xc = self._vcycle(state, depth + 1, tr.restrict(r))
         x = x + tr.prolong(xc)
         r = pk.caxpy(-1.0, 0.0, lv.apply(x), b)
         return x + mr_smoother_pk(lv.apply, r, iters=p.smoother_iters)
 
     def precondition(self, r):
         """One V-cycle ~ A^{-1} r (traced; use inside flexible GCR)."""
-        return self._vcycle(0, r)
+        return self._vcycle(self.state, 0, r)
 
     def solve(self, b, tol=1e-6, maxiter=200):
         """MG-preconditioned GCR on the fine system M x = b (fp32)."""
-        return gcr_pk(self.levels[0].apply, b, precond=self.precondition,
+        return gcr_pk(lambda st, x: st[0][0].apply(x), b,
+                      precond=lambda st, r: self._vcycle(st, 0, r),
+                      operand=self.state,
                       tol=tol, maxiter=maxiter, restart=self.params.restart)
 
     def solve_certified(self, b, *, tol=1e-10, inner_tol=1e-5,
@@ -138,8 +149,8 @@ class DeviceMG:
                              backend="xla")
 
         @jax.jit
-        def residual_hp(x64, b64):
-            r = b64 - hp.apply(x64)
+        def residual_hp(lvl, x64, b64):
+            r = b64 - lvl.apply(x64)
             return r, pk.norm2(r, dtype=jnp.float64)
 
         b64 = b.astype(jnp.float64)
@@ -148,7 +159,7 @@ class DeviceMG:
         total = 0
         rel = 1.0
         for it in range(max_refine):
-            r64, rsq = residual_hp(x, b64)
+            r64, rsq = residual_hp(hp, x, b64)
             rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
             if verbose:
                 print(f"[mg] refine {it}: true relres {rel:.3e} "
@@ -159,6 +170,6 @@ class DeviceMG:
                              maxiter=maxiter)
             total += res.iters
             x = x + res.x.astype(jnp.float64)
-        r64, rsq = residual_hp(x, b64)
+        r64, rsq = residual_hp(hp, x, b64)
         rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
         return x, rel, total

@@ -98,35 +98,52 @@ class GCRResultPk(NamedTuple):
 def gcr_pk(matvec: Callable, b: jax.Array, *,
            precond: Callable | None = None, tol: float = 1e-8,
            maxiter: int = 200, restart: int = 8,
-           x0: jax.Array | None = None) -> GCRResultPk:
+           x0: jax.Array | None = None, operand=None) -> GCRResultPk:
     """Right-preconditioned flexible GCR with per-cycle host sync.
 
     One jitted function runs a whole `restart` cycle (unrolled inner
     orthogonalization), so through the remote-TPU tunnel there is a
     single host round-trip per `restart` iterations.
+
+    `operand`: optional pytree threaded explicitly through the jit
+    boundary; when given, matvec/precond are called as fn(operand, x).
+    Large state (gauge fields, MG hierarchies) MUST travel this way —
+    arrays captured by closures are embedded as HLO constants, which the
+    remote-compile service rejects for production sizes.
     """
     if precond is None:
-        def precond(r):
+        def precond(op, r):
             return r
+    elif operand is None:
+        _precond = precond
+
+        def precond(op, r):
+            return _precond(r)
+    if operand is None:
+        _matvec = matvec
+
+        def matvec(op, x):
+            return _matvec(x)
 
     @jax.jit
-    def cycle(x, r):
-        x, r = _gcr_cycle(matvec, precond, x, r, restart)
+    def cycle(op, x, r):
+        x, r = _gcr_cycle(lambda v: matvec(op, v),
+                          lambda v: precond(op, v), x, r, restart)
         return x, r, pk.norm2(r)
 
     @jax.jit
-    def true_residual(x):
-        r = pk.caxpy(-1.0, 0.0, matvec(x), b)
+    def true_residual(op, x, b):
+        r = pk.caxpy(-1.0, 0.0, matvec(op, x), b)
         return r, pk.norm2(r)
 
     x = jnp.zeros_like(b) if x0 is None else x0
     bsq = float(pk.norm2(b))
     tol2 = tol * tol * bsq
-    r, rsq = true_residual(x)
+    r, rsq = true_residual(operand, x, b)
     total = 0
     while total < maxiter and float(rsq) > tol2:
-        x, _, _ = cycle(x, r)
-        r, rsq = true_residual(x)  # recompute truth once per cycle
+        x, _, _ = cycle(operand, x, r)
+        r, rsq = true_residual(operand, x, b)  # truth once per cycle
         total += restart
     relres = (float(rsq) / max(bsq, 1e-300)) ** 0.5
     return GCRResultPk(x=x, relres=relres, iters=total,
