@@ -1,0 +1,60 @@
+"""Device contraction engine vs the host complex-einsum oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuqcd.gammas import GAMMA, GAMMA5
+from tpuqcd.lattice import Lattice
+from tpuqcd.phys import contract as host
+from tpuqcd.phys.contract_dev import (density_to_full, meson_2pt_dev,
+                                      meson_2pt_site_dev, prop_to_device,
+                                      proton_2pt_dev, proton_2pt_site_dev)
+
+LAT = Lattice((4, 4, 4, 6))
+
+
+def _rand_prop(key):
+    kr, ki = jax.random.split(key)
+    shape = (LAT.Lt, LAT.Lz, LAT.Ly, LAT.Lx, 4, 3, 4, 3)
+    return jax.lax.complex(jax.random.normal(kr, shape, jnp.float32),
+                           jax.random.normal(ki, shape, jnp.float32))
+
+
+def test_proton_density_matches_host():
+    su = _rand_prop(jax.random.PRNGKey(0))
+    sd = _rand_prop(jax.random.PRNGKey(1))
+    want = np.asarray(host.proton_2pt_site(su, sd))
+    dens = proton_2pt_site_dev(prop_to_device(su, LAT),
+                               prop_to_device(sd, LAT))
+    got = density_to_full(dens, LAT)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_meson_density_matches_host():
+    s1 = _rand_prop(jax.random.PRNGKey(2))
+    s2 = _rand_prop(jax.random.PRNGKey(3))
+    for name, g in (("g5", GAMMA5), ("g1", GAMMA[0])):
+        want = np.asarray(host.meson_2pt_site(s1, s2, g))
+        dens = meson_2pt_site_dev(prop_to_device(s1, LAT),
+                                  prop_to_device(s2, LAT), g)
+        got = density_to_full(dens, LAT)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3,
+                                   err_msg=name)
+
+
+def test_projected_correlators_match_host():
+    su = _rand_prop(jax.random.PRNGKey(4))
+    sd = _rand_prop(jax.random.PRNGKey(5))
+    moms = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 1]])
+    src = (1, 2, 0, 3)
+    want = np.asarray(host.proton_2pt(su, sd, LAT, moms, src_pos=src))
+    got = np.asarray(proton_2pt_dev(prop_to_device(su, LAT),
+                                    prop_to_device(sd, LAT), LAT, moms,
+                                    src_pos=src))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-1)
+    want = np.asarray(host.meson_2pt(su, sd, GAMMA5, LAT, moms,
+                                     src_pos=src))
+    got = np.asarray(meson_2pt_dev(prop_to_device(su, LAT),
+                                   prop_to_device(sd, LAT), GAMMA5, LAT,
+                                   moms, src_pos=src))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-1)
