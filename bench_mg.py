@@ -44,9 +44,11 @@ def main():
     lat = Lattice(tuple(args.dims))
     u = apply_boundary_phase_dev(
         su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
-    u_pk = pack_gauge(u)
+    u_pk = jax.block_until_ready(pack_gauge(u))
     b = random_spinor_dev(jax.random.PRNGKey(1), lat)  # both parities
-    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    b_pk = jax.block_until_ready(
+        jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])]))
+    del u, b  # free the complex copies — HBM is the budget here
 
     blocks = ((4, 4, 4, 4), (2, 2, 2, 2), (2, 2, 2, 2))[:len(args.n_vec)]
     params = DeviceMGParams(n_vec=tuple(args.n_vec), block=blocks,

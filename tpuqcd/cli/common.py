@@ -104,42 +104,51 @@ def make_solver(cfg, lat, u_pk, u_full):
               else jnp.float32)
 
     if cfg.mg.enabled:
-        from ..mg.level import FineTMLevel
-        from ..mg.vcycle import MG, MGParams
-        from ..utils.checkpoint import load_mg, save_mg
-        params = MGParams(n_vec=tuple(cfg.mg.n_vec),
-                          block=tuple(cfg.mg.block),
-                          setup_iters=cfg.mg.setup_iters,
-                          smoother_iters=cfg.mg.smoother_iters,
-                          coarse_tol=cfg.mg.coarse_tol,
-                          coarse_maxiter=cfg.mg.coarse_maxiter,
-                          mu_factor=cfg.mg.mu_factor)
+        # device-resident MG (mg/dsolve.py): setup, V-cycles, and the f64
+        # certification all run on the accelerator
+        from ..mg.device import DeviceFineLevel
+        from ..mg.dsolve import DeviceMG, DeviceMGParams
+        from ..utils.checkpoint import load_device_mg, save_device_mg
+        params = DeviceMGParams(n_vec=tuple(cfg.mg.n_vec),
+                                block=tuple(cfg.mg.block),
+                                setup_iters=cfg.mg.setup_iters,
+                                smoother_iters=cfg.mg.smoother_iters,
+                                coarse_iters=cfg.mg.coarse_maxiter,
+                                mu_factor=cfg.mg.mu_factor)
         mgs = {}
         for flavor in (+1, -1):
-            lv = FineTMLevel(lat, u_full, kappa=cfg.action.kappa,
-                             mu=cfg.action.mu, flavor=flavor)
+            lv = DeviceFineLevel(lat, u_pk.astype(jnp.float32),
+                                 cfg.action.kappa, cfg.action.mu, flavor,
+                                 backend=cfg.solver.backend)
             if cfg.mg.vec_infile:
-                mg = load_mg(f"{cfg.mg.vec_infile}.f{flavor:+d}.npz", lv,
-                             params)
+                mg = load_device_mg(f"{cfg.mg.vec_infile}.f{flavor:+d}.npz",
+                                    lv, params)
                 log.info("MG hierarchy loaded (flavor %+d)", flavor)
             else:
                 log.info("MG setup (flavor %+d)...", flavor)
-                mg = MG(lv, params)
+                mg = DeviceMG(lv, params)
                 if cfg.mg.vec_outfile:
-                    save_mg(f"{cfg.mg.vec_outfile}.f{flavor:+d}.npz", mg)
-            mgs[flavor] = (lv, mg)
+                    save_device_mg(
+                        f"{cfg.mg.vec_outfile}.f{flavor:+d}.npz", mg)
+            mgs[flavor] = mg
 
         def solve(b_full, flavor=+1):
-            lv, mg = mgs[flavor]
-            lv_hp = FineTMLevel(lat, u_full.astype(jnp.complex128),
-                                kappa=cfg.action.kappa, mu=cfg.action.mu,
-                                flavor=flavor)
-            b12 = b_full.reshape(*lat.full_shape, 12)
-            x, rel, iters = mg.solve_certified(
-                b12, lambda v: lv_hp.apply(v), tol=cfg.solver.tol,
-                inner_tol=1e-5)
-            log.info("  mg solve: relres=%.2e iters=%d", rel, iters)
-            return x.reshape(*lat.full_shape, 4, 3).astype(jnp.complex64)
+            from ..fields import eo_to_full
+            from ..ops.layout import spinor_from_device
+            from ..solve import solve_tm_mg
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                b_pk = full_to_packed(b_full, lat)
+            b_pk = jax.device_put(b_pk, jax.devices()[0])
+            res = solve_tm_mg(mgs[flavor], b_pk, tol=cfg.solver.tol,
+                              inner_tol=cfg.solver.inner_tol)
+            log.info("  mg solve: relres=%.2e iters=%d",
+                     float(res.relres), int(res.iters))
+            with jax.default_device(cpu):
+                # keep f64 end-to-end so the certified tolerance survives
+                x64 = jax.device_put(res.x, cpu)
+                c = jax.lax.complex(x64[:, 0], x64[:, 1])
+                return eo_to_full(spinor_from_device(c, lat), lat)
 
         return solve
 

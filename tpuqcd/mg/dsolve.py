@@ -129,12 +129,46 @@ class DeviceMG:
         """One V-cycle ~ A^{-1} r (traced; use inside flexible GCR)."""
         return self._vcycle(self.state, 0, r)
 
+    # jitted solve machinery is built ONCE and cached — rebuilding the
+    # lambdas per solve() call would miss the jit cache (keyed on
+    # function identity) and recompile every defect-correction refine
+    def _jits(self):
+        if getattr(self, "_jit_cache", None) is None:
+            from ..solvers.krylov_pk import _gcr_cycle
+            p = self.params
+
+            @jax.jit
+            def cycle(state, x, r):
+                x, r = _gcr_cycle(
+                    lambda v: state[0][0].apply(v),
+                    lambda v: self._vcycle(state, 0, v), x, r, p.restart)
+                return x, r, pk.norm2(r)
+
+            @jax.jit
+            def residual(state, x, b):
+                r = pk.caxpy(-1.0, 0.0, state[0][0].apply(x), b)
+                return r, pk.norm2(r)
+
+            self._jit_cache = (cycle, residual)
+        return self._jit_cache
+
     def solve(self, b, tol=1e-6, maxiter=200):
         """MG-preconditioned GCR on the fine system M x = b (fp32)."""
-        return gcr_pk(lambda st, x: st[0][0].apply(x), b,
-                      precond=lambda st, r: self._vcycle(st, 0, r),
-                      operand=self.state,
-                      tol=tol, maxiter=maxiter, restart=self.params.restart)
+        from ..solvers.krylov_pk import GCRResultPk
+        cycle, residual = self._jits()
+        state = self.state
+        x = jnp.zeros_like(b)
+        bsq = float(pk.norm2(b))
+        tol2 = tol * tol * bsq
+        r, rsq = residual(state, x, b)
+        total = 0
+        while total < maxiter and float(rsq) > tol2:
+            x, _, _ = cycle(state, x, r)
+            r, rsq = residual(state, x, b)
+            total += self.params.restart
+        relres = (float(rsq) / max(bsq, 1e-300)) ** 0.5
+        return GCRResultPk(x=x, relres=relres, iters=total,
+                           converged=float(rsq) <= tol2)
 
     def solve_certified(self, b, *, tol=1e-10, inner_tol=1e-5,
                         maxiter=200, max_refine=12, verbose=False):
@@ -144,14 +178,20 @@ class DeviceMG:
         Returns (x_f64, relres, total_inner_iters).
         """
         fine = self.levels[0]
-        hp = DeviceFineLevel(fine.lat, fine.u_pk.astype(jnp.float64),
-                             fine.kappa, fine.mu, fine.flavor,
-                             backend="xla")
+        # f32 gauge entries promote EXACTLY into the f64 hop products, so
+        # the high-precision operator keeps the f32 gauge (saves 1.2 GB
+        # HBM at 32^3x64 — the earlier f64 copy OOMed the chip)
+        if getattr(self, "_hp_cache", None) is None:
+            hp = DeviceFineLevel(fine.lat, fine.u_pk, fine.kappa, fine.mu,
+                                 fine.flavor, backend="xla")
 
-        @jax.jit
-        def residual_hp(lvl, x64, b64):
-            r = b64 - lvl.apply(x64)
-            return r, pk.norm2(r, dtype=jnp.float64)
+            @jax.jit
+            def residual_hp(lvl, x64, b64):
+                r = b64 - lvl.apply(x64)
+                return r, pk.norm2(r, dtype=jnp.float64)
+
+            self._hp_cache = (hp, residual_hp)
+        hp, residual_hp = self._hp_cache
 
         b64 = b.astype(jnp.float64)
         x = jnp.zeros_like(b64)
@@ -159,17 +199,25 @@ class DeviceMG:
         total = 0
         rel = 1.0
         for it in range(max_refine):
+            t0 = time.perf_counter()
             r64, rsq = residual_hp(hp, x, b64)
             rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
-            if verbose:
-                print(f"[mg] refine {it}: true relres {rel:.3e} "
-                      f"({total} inner iters)")
+            t_res = time.perf_counter() - t0
             if rel <= tol:
+                if verbose:
+                    print(f"[mg] refine {it}: true relres {rel:.3e} "
+                          f"({total} inner iters)")
                 break
+            t0 = time.perf_counter()
             res = self.solve(r64.astype(jnp.float32), tol=inner_tol,
                              maxiter=maxiter)
             total += res.iters
             x = x + res.x.astype(jnp.float64)
-        r64, rsq = residual_hp(hp, x, b64)
-        rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
+            if verbose:
+                print(f"[mg] refine {it}: true relres {rel:.3e} "
+                      f"(f64 residual {t_res:.2f}s, inner {res.iters} "
+                      f"iters {time.perf_counter() - t0:.2f}s)")
+        else:  # max_refine exhausted: certify the final iterate
+            _, rsq = residual_hp(hp, x, b64)
+            rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
         return x, rel, total

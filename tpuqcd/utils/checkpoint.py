@@ -67,6 +67,54 @@ def load_mg(path: str, fine_level, params):
     return mg
 
 
+def save_device_mg(path: str, mg) -> None:
+    """Dump a device MG hierarchy (tpuqcd.mg.dsolve.DeviceMG): raw null
+    vectors + Linv per transfer, links per coarse level — reload skips
+    the null-vector solves, the block orthogonalization, AND the
+    Galerkin probing (the reference's vec_infile/outfile role [U])."""
+    blobs = {"n_transfers": np.asarray(len(mg.transfers))}
+    for i, tr in enumerate(mg.transfers):
+        blobs[f"t{i}_v"] = np.asarray(tr.v_pk)
+        blobs[f"t{i}_linv"] = np.asarray(tr.linv)
+        blobs[f"t{i}_block"] = np.asarray(tr.block)
+    for i, lv in enumerate(mg.levels[1:]):
+        blobs[f"c{i}_links"] = np.asarray(lv.links)
+        blobs[f"c{i}_dims"] = np.asarray(lv.dims)
+        blobs[f"c{i}_n"] = np.asarray(lv.n)
+    np.savez_compressed(path, **blobs)
+
+
+def load_device_mg(path: str, fine_level, params):
+    """Rebuild a DeviceMG from a dump (no setup solves/probing)."""
+    from ..mg.device import (DeviceCoarseLevel, DeviceCoarseTransfer,
+                             DeviceFineTransfer)
+    from ..mg.dsolve import DeviceMG
+
+    z = np.load(path)
+    n = int(z["n_transfers"])
+    mg = DeviceMG.__new__(DeviceMG)
+    mg.params = params
+    mg.setup_seconds = {}
+    mg.levels = [fine_level]
+    mg.transfers = []
+    level = fine_level
+    for i in range(n):
+        block = tuple(int(b) for b in z[f"t{i}_block"])
+        v = jnp.asarray(z[f"t{i}_v"])
+        linv = jnp.asarray(z[f"t{i}_linv"])
+        if i == 0:
+            tr = DeviceFineTransfer(fine_level.lat, block, v, linv)
+        else:
+            tr = DeviceCoarseTransfer(level.dims, level.n, block, v, linv)
+        coarse = DeviceCoarseLevel(
+            dims=tuple(int(d) for d in z[f"c{i}_dims"]),
+            n=int(z[f"c{i}_n"]), links=jnp.asarray(z[f"c{i}_links"]))
+        mg.transfers.append(tr)
+        mg.levels.append(coarse)
+        level = coarse
+    return mg
+
+
 def save_eigenpairs(path: str, evals, evecs) -> None:
     np.savez_compressed(path, evals=np.asarray(evals),
                         evecs=np.stack([np.asarray(v) for v in evecs]))
