@@ -186,3 +186,80 @@ def test_device_mg_solve_and_certify():
     x, rel10, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
                                          max_refine=20)
     assert rel10 <= 1e-10, rel10
+
+
+def _clover_level(backend="xla", interpret=False):
+    from tpuqcd.operators import CloverData
+    from tpuqcd.utils.packed import pack_clover
+    u = _gauge()
+    cl = CloverData.build(u, LAT, KAPPA, MU, csw=1.2)
+    cl_pk = jnp.stack([pack_clover(cl.a_blocks[0]),
+                       pack_clover(cl.a_blocks[1])])
+    from tpuqcd.mg.device import DeviceFineCloverLevel
+    lv = DeviceFineCloverLevel(LAT, pack_gauge(u), cl_pk, KAPPA, MU,
+                               csw=1.2, backend=backend,
+                               interpret=interpret)
+    return u, cl, lv
+
+
+def test_fine_tm_fused_pallas_apply():
+    """Fused xpay full-M apply (pallas, interpret) == the XLA path."""
+    u = _gauge()
+    xla = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU, backend="xla")
+    pal = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU,
+                          backend="pallas", interpret=True)
+    v = xla.random_field(jax.random.PRNGKey(12))
+    np.testing.assert_allclose(np.asarray(pal.apply(v)),
+                               np.asarray(xla.apply(v)), atol=5e-5)
+
+
+def test_fine_clover_level_vs_oracle():
+    """DeviceFineCloverLevel (xla + pallas-interpret) vs the composed
+    complex-device oracle A v + i tw g5 v - kappa D v."""
+    from tpuqcd.ops.clover import clover_apply
+    from tpuqcd.ops.dslash_xla import dslash_eo_dev
+    from tpuqcd.operators import gamma5_apply_dev
+    u, cl, lv = _clover_level()
+    v = lv.random_field(jax.random.PRNGKey(13))
+    vc = [jax.lax.complex(v[0, p], v[1, p]) for p in (0, 1)]
+    tw = 2.0 * KAPPA * MU
+    want = []
+    for p in (0, 1):
+        a = clover_apply(cl.a_blocks[p], vc[p])
+        a = a + (1j * tw) * gamma5_apply_dev(vc[p])
+        want.append(a - KAPPA * dslash_eo_dev(u, vc[1 - p], 1 - p, LAT))
+    got = lv.apply(v)
+    for p in (0, 1):
+        gc = jax.lax.complex(got[0, p], got[1, p])
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(want[p]),
+                                   atol=5e-5, err_msg=f"xla p={p}")
+    _, _, lvp = _clover_level(backend="pallas", interpret=True)
+    gotp = lvp.apply(v)
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(got),
+                               atol=5e-5)
+
+
+@pytest.mark.slow
+def test_device_mg_clover_solve():
+    """Device MG on the twisted-clover operator: Galerkin identity +
+    certified solve (self-oracle)."""
+    from tpuqcd.mg.device import DeviceFineTransfer, build_coarse_device
+    _, _, lv = _clover_level()
+    nulls = jnp.stack([lv.random_field(k)
+                       for k in jax.random.split(jax.random.PRNGKey(14), 3)])
+    tr = DeviceFineTransfer(LAT, (2, 2, 2, 2), nulls)
+    coarse = build_coarse_device(lv, tr)
+    vc = coarse.random_field(jax.random.PRNGKey(15))
+    np.testing.assert_allclose(
+        np.asarray(coarse.apply(vc)),
+        np.asarray(tr.restrict(lv.apply(tr.prolong(vc)))),
+        atol=1e-3, rtol=1e-3)
+
+    params = DeviceMGParams(n_vec=(3,), block=((2, 2, 2, 2),),
+                            setup_iters=25, smoother_iters=3,
+                            coarse_iters=16, restart=6)
+    mg = DeviceMG(lv, params)
+    b = lv.random_field(jax.random.PRNGKey(16))
+    x, rel, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
+                                       max_refine=25)
+    assert rel <= 1e-10, rel

@@ -92,6 +92,24 @@ def smeared_gauge(cfg, lat, u_dev):
                      n_steps=cfg.physics.smear_n_ape)
 
 
+def _mg_fine_level(cfg, lat, u_pk, flavor):
+    """TM or TM-clover device fine level per the action config."""
+    from ..mg.device import DeviceFineCloverLevel, DeviceFineLevel
+    u32 = u_pk.astype(jnp.float32)
+    if getattr(cfg.action, "csw", 0.0):
+        from ..ops.clover import clover_blocks
+        from ..utils.packed import pack_clover, unpack_gauge
+        a = clover_blocks(unpack_gauge(u32), lat, cfg.action.kappa,
+                          cfg.action.csw)
+        cl_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+        return DeviceFineCloverLevel(lat, u32, cl_pk, cfg.action.kappa,
+                                     cfg.action.mu, csw=cfg.action.csw,
+                                     flavor=flavor,
+                                     backend=cfg.solver.backend)
+    return DeviceFineLevel(lat, u32, cfg.action.kappa, cfg.action.mu,
+                           flavor, backend=cfg.solver.backend)
+
+
 def make_solver(cfg, lat, u_pk, u_full):
     """Returns solve(b_full [T,Z,Y,X,4,3], flavor) -> x_full, honoring
     the MG config (MG-preconditioned full-system solve) or the eo
@@ -117,9 +135,7 @@ def make_solver(cfg, lat, u_pk, u_full):
                                 mu_factor=cfg.mg.mu_factor)
         mgs = {}
         for flavor in (+1, -1):
-            lv = DeviceFineLevel(lat, u_pk.astype(jnp.float32),
-                                 cfg.action.kappa, cfg.action.mu, flavor,
-                                 backend=cfg.solver.backend)
+            lv = _mg_fine_level(cfg, lat, u_pk, flavor)
             if cfg.mg.vec_infile:
                 mg = load_device_mg(f"{cfg.mg.vec_infile}.f{flavor:+d}.npz",
                                     lv, params)

@@ -115,6 +115,19 @@ class DeviceFineLevel:
     def apply(self, v: jax.Array) -> jax.Array:
         """v [2, 2, 4, 3, T, Z, S] -> M v (same layout)."""
         ve, vo = self._split(v)
+        if self.backend == "pallas":
+            # ONE fused kernel launch per parity: the xpay epilogue with
+            # xpay_scale=kappa computes (1 + i tw g5) psi0 - kappa D psi
+            # = the full unpreconditioned M (no extra HBM passes)
+            from ..ops.dslash_pallas import dslash_eo_pallas
+
+            def m_par(src, psi0, src_par):
+                return dslash_eo_pallas(
+                    self.u12_pk, src, src_par, self.lat, epilogue="xpay",
+                    kappa=self.kappa, mu=self.mu, flavor=self.flavor,
+                    psi0_pk=psi0, xpay_scale=self.kappa,
+                    interpret=self.interpret, t_boundary=self.t_boundary)
+            return self._join(m_par(vo, ve, 1), m_par(ve, vo, 0))
         de = self._dslash(vo, 1)             # result on even sites
         do = self._dslash(ve, 0)
         k = self.kappa
@@ -124,13 +137,104 @@ class DeviceFineLevel:
 
     def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
         """Single hop term of M (including the -kappa), both parities."""
+        return _hop_full(self.u_pk, self.lat, self.kappa, v, mu, sign)
+
+    def as_hp(self) -> "DeviceFineLevel":
+        """XLA-backend twin for f64 defect-correction residuals (f32
+        gauge entries promote exactly into f64 hop products)."""
+        return dataclasses.replace(self, backend="xla", u12_pk=None)
+
+    def random_field(self, key) -> jax.Array:
+        shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,
+                 self.lat.Ly * self.lat.Lx // 2)
+        return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+def _hop_full(u_pk, lat, kappa, v, mu, sign):
+    """Single hop term of the full operator, both parities (setup path)."""
+    from ..ops.dslash_xla import dslash_eo_dev_ri
+    ve = jnp.stack([v[0, 0], v[1, 0]])
+    vo = jnp.stack([v[0, 1], v[1, 1]])
+    de = dslash_eo_dev_ri(u_pk, vo, 1, lat, dirs=((mu, sign),))
+    do = dslash_eo_dev_ri(u_pk, ve, 0, lat, dirs=((mu, sign),))
+    return jnp.stack([-kappa * de, -kappa * do], axis=1)
+
+
+def _itwg5_pk(v_par, tw):
+    """i * tw * g5 * v on a packed single-parity spinor."""
+    g5 = jnp.asarray(_G5_DIAG, dtype=v_par.dtype).reshape(4, 1, 1, 1, 1)
+    t = jnp.asarray(tw, v_par.dtype)
+    return jnp.stack([-t * g5 * v_par[1], t * g5 * v_par[0]])
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["u_pk", "clover_pk", "u12_pk"],
+         meta_fields=["lat", "kappa", "mu", "csw", "flavor", "backend",
+                      "interpret", "t_boundary"])
+@dataclasses.dataclass
+class DeviceFineCloverLevel:
+    """Full-lattice twisted-clover operator M = (A + 2 i kappa mu f g5)
+    - kappa D on packed fields (reference `dirac_twisted_clover.cpp`
+    full-operator form [U]; SURVEY.md C4/C10).
+
+    clover_pk: packed chiral A blocks for BOTH parities
+    [2(par), 2(ri), 2(chir), 6, 6, T, Z, S] (utils.packed.pack_clover of
+    CloverData.a_blocks).  The Pallas path is one fused clover_xpay
+    launch per parity (xpay_scale=kappa); hops are clover-free, so the
+    whole MG machinery (probing included) works unchanged — the clover
+    term lands in the Galerkin diagonal automatically.
+    """
+    lat: Lattice
+    u_pk: jax.Array
+    clover_pk: jax.Array
+    kappa: float
+    mu: float = 0.0
+    csw: float = 1.0
+    flavor: int = +1
+    backend: str = "pallas"
+    interpret: bool = False
+    t_boundary: int = -1
+    u12_pk: jax.Array | None = None
+
+    def __post_init__(self):
+        if self.u12_pk is None and self.backend == "pallas" \
+                and isinstance(self.u_pk, jax.Array):
+            self.u12_pk = self.u_pk[:, :, :2]
+
+    @property
+    def n(self) -> int:
+        return 12
+
+    def apply(self, v: jax.Array) -> jax.Array:
+        ve = jnp.stack([v[0, 0], v[1, 0]])
+        vo = jnp.stack([v[0, 1], v[1, 1]])
+        tw = 2.0 * self.kappa * self.mu * self.flavor
+        if self.backend == "pallas":
+            from ..ops.dslash_pallas import dslash_eo_pallas
+
+            def m_par(src, psi0, p):
+                return dslash_eo_pallas(
+                    self.u12_pk, src, 1 - p, self.lat,
+                    epilogue="clover_xpay", kappa=self.kappa, mu=self.mu,
+                    flavor=self.flavor, psi0_pk=psi0,
+                    clover_pk=self.clover_pk[p], xpay_scale=self.kappa,
+                    interpret=self.interpret, t_boundary=self.t_boundary)
+            return jnp.stack([m_par(vo, ve, 0), m_par(ve, vo, 1)], axis=1)
+        from ..ops.clover import clover_apply_pk
         from ..ops.dslash_xla import dslash_eo_dev_ri
-        ve, vo = self._split(v)
-        de = dslash_eo_dev_ri(self.u_pk, vo, 1, self.lat,
-                              dirs=((mu, sign),))
-        do = dslash_eo_dev_ri(self.u_pk, ve, 0, self.lat,
-                              dirs=((mu, sign),))
-        return self._join(-self.kappa * de, -self.kappa * do)
+        k = self.kappa
+        out = []
+        for p, (vp, vq) in enumerate(((ve, vo), (vo, ve))):
+            d = dslash_eo_dev_ri(self.u_pk, vq, 1 - p, self.lat)
+            a = clover_apply_pk(self.clover_pk[p], vp)  # dtype-promoting
+            out.append(a + _itwg5_pk(vp, tw) - k * d)
+        return jnp.stack(out, axis=1)
+
+    def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
+        return _hop_full(self.u_pk, self.lat, self.kappa, v, mu, sign)
+
+    def as_hp(self) -> "DeviceFineCloverLevel":
+        return dataclasses.replace(self, backend="xla", u12_pk=None)
 
     def random_field(self, key) -> jax.Array:
         shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,

@@ -178,12 +178,11 @@ class DeviceMG:
         Returns (x_f64, relres, total_inner_iters).
         """
         fine = self.levels[0]
-        # f32 gauge entries promote EXACTLY into the f64 hop products, so
-        # the high-precision operator keeps the f32 gauge (saves 1.2 GB
-        # HBM at 32^3x64 — the earlier f64 copy OOMed the chip)
+        # f32 gauge/clover entries promote EXACTLY into the f64 products,
+        # so the high-precision operator keeps the f32 data (an f64 gauge
+        # copy OOMed the chip at 32^3x64)
         if getattr(self, "_hp_cache", None) is None:
-            hp = DeviceFineLevel(fine.lat, fine.u_pk, fine.kappa, fine.mu,
-                                 fine.flavor, backend="xla")
+            hp = fine.as_hp()
 
             @jax.jit
             def residual_hp(lvl, x64, b64):

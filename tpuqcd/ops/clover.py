@@ -131,3 +131,33 @@ def clover_apply(blocks_p: jax.Array, psi: jax.Array) -> jax.Array:
                 acc = t if acc is None else acc + t
             out[spins[i // 3]][i % 3] = acc
     return jnp.stack([jnp.stack(row) for row in out])
+
+
+def clover_apply_pk(cl_pk: jax.Array, psi_pk: jax.Array) -> jax.Array:
+    """Apply packed chiral clover blocks to a packed-real spinor.
+
+    cl_pk: [2(ri), 2(chir), 6, 6, T, Z, S] (utils.packed.pack_clover);
+    psi_pk: [2(ri), 4, 3, T, Z, S] any float dtype (f64 for the
+    high-precision defect-correction operator — f32 block entries promote
+    exactly).  Unrolled 6x6 complex mat-vec per chirality.
+    """
+    out_r = [[None] * 3 for _ in range(4)]
+    out_i = [[None] * 3 for _ in range(4)]
+    for c, spins in enumerate(CHIR_SPINS):
+        comps = [(psi_pk[0, s, j], psi_pk[1, s, j])
+                 for s in spins for j in range(3)]
+        for i in range(6):
+            ar = None
+            ai = None
+            for k in range(6):
+                br, bi = comps[k]
+                mr = cl_pk[0, c, i, k]
+                mi = cl_pk[1, c, i, k]
+                tr = mr * br - mi * bi
+                ti = mr * bi + mi * br
+                ar = tr if ar is None else ar + tr
+                ai = ti if ai is None else ai + ti
+            out_r[spins[i // 3]][i % 3] = ar
+            out_i[spins[i // 3]][i % 3] = ai
+    return jnp.stack([jnp.stack([jnp.stack(row) for row in out_r]),
+                      jnp.stack([jnp.stack(row) for row in out_i])])

@@ -62,7 +62,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             lat: Lattice, parity: int, dagger: bool,
             epilogue: str, kappa: float, mu: float, flavor: int, Zb: int,
             z_blocked: bool, compute_dtype, recon12: bool, t_boundary: int,
-            T_total: int):
+            T_total: int, xpay_scale):
     """One [Zb, S] slab; see module docstring for the stencil plan."""
     rest = list(rest)
     if z_blocked:
@@ -320,10 +320,11 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         rr = den * dr + (tw * den) * g5_mul(di)
         ri = den * di - (tw * den) * g5_mul(dr)
     elif epilogue == "xpay":
-        # (1 + i tw g5) psi0 - kappa^2 D
+        # (1 + i tw g5) psi0 - k2 D; k2 = kappa^2 (eo Schur apply) or the
+        # xpay_scale override (= kappa for the full unpreconditioned M)
         blk = psi0_ref[...].reshape(2, 4, 3, Zb, S).astype(f32)
         p0r, p0i = blk[0], blk[1]
-        k2 = kappa * kappa
+        k2 = kappa * kappa if xpay_scale is None else xpay_scale
         rr = p0r - tw * g5_mul(p0i) - k2 * dr
         ri = p0i + tw * g5_mul(p0r) - k2 * di
     elif epilogue in ("clover_inv", "clover_xpay"):
@@ -364,7 +365,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             blk = psi0_ref[...].reshape(2, 4, 3, Zb, S).astype(f32)
             p0r, p0i = blk[0], blk[1]
             ar_, ai_ = block_mv(p0r, p0i)
-            k2 = kappa * kappa
+            k2 = kappa * kappa if xpay_scale is None else xpay_scale
             rr = ar_ - tw * g5_mul(p0i) - k2 * dr
             ri = ai_ + tw * g5_mul(p0r) - k2 * di
     else:
@@ -377,7 +378,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     jax.jit,
     static_argnames=("src_parity", "lat", "dagger", "epilogue", "kappa",
                      "mu", "flavor", "block_z", "interpret", "local_dims",
-                     "halo_t", "halo_z", "t_boundary"))
+                     "halo_t", "halo_z", "t_boundary", "xpay_scale"))
 def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      lat: Lattice, dagger: bool = False,
                      epilogue: str = "none", kappa: float = 0.0,
@@ -389,7 +390,8 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      local_dims: tuple[int, int] | None = None,
                      halo_t: bool = False,
                      halo_z: bool = False,
-                     t_boundary: int = -1) -> jax.Array:
+                     t_boundary: int = -1,
+                     xpay_scale: float | None = None) -> jax.Array:
     """Packed-real even-odd Dslash with fused site-term epilogues.
 
     u_pk [4,2,3,3,2,T,Z,S] full, or [4,2,2,3,2,T,Z,S] reconstruct-12
@@ -524,7 +526,7 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         _kernel, lat=lat, parity=p, dagger=dagger, epilogue=epilogue,
         kappa=kappa, mu=mu, flavor=flavor, Zb=Zb, z_blocked=z_blocked,
         compute_dtype=jnp.float32, recon12=recon12, t_boundary=t_boundary,
-        T_total=T)
+        T_total=T, xpay_scale=xpay_scale)
 
     flops = 1320 * (Z * S) * T
     bytes_acc = psi_pk.size * psi_pk.dtype.itemsize * 4 + \

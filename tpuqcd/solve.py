@@ -104,16 +104,33 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
 
 
 def setup_multigrid(u_pk: jax.Array, lat: Lattice, *, kappa: float,
-                    mu: float, flavor: int = +1, params=None,
+                    mu: float, flavor: int = +1, csw: float = 0.0,
+                    clover_pk: jax.Array | None = None, params=None,
                     backend: str = "pallas", interpret: bool = False,
                     verbose: bool = False):
     """Build the device-resident MG hierarchy (the TPU-native
     `newMultigridQuda` [U]; SURVEY.md §4.3).  Reuse the returned object
-    across solves — setup dominates a single solve's cost."""
+    across solves — setup dominates a single solve's cost.
+
+    csw != 0 coarsens the twisted-clover operator; pass `clover_pk`
+    (packed A blocks, both parities: stack of utils.packed.pack_clover
+    over CloverData.a_blocks) to skip recomputing the clover term.
+    """
+    from .mg.device import DeviceFineCloverLevel, DeviceFineLevel
     from .mg.dsolve import DeviceMG, DeviceMGParams
-    from .mg.device import DeviceFineLevel
-    fine = DeviceFineLevel(lat, u_pk.astype(jnp.float32), kappa, mu,
-                           flavor, backend=backend, interpret=interpret)
+    u32 = u_pk.astype(jnp.float32)
+    if csw != 0.0:
+        if clover_pk is None:
+            from .ops.clover import clover_blocks
+            from .utils.packed import pack_clover, unpack_gauge
+            a = clover_blocks(unpack_gauge(u32), lat, kappa, csw)
+            clover_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+        fine = DeviceFineCloverLevel(lat, u32, clover_pk, kappa, mu,
+                                     csw=csw, flavor=flavor,
+                                     backend=backend, interpret=interpret)
+    else:
+        fine = DeviceFineLevel(lat, u32, kappa, mu, flavor,
+                               backend=backend, interpret=interpret)
     return DeviceMG(fine, params or DeviceMGParams(), verbose=verbose)
 
 
