@@ -58,3 +58,24 @@ def test_projected_correlators_match_host():
                                    prop_to_device(sd, LAT), GAMMA5, LAT,
                                    moms, src_pos=src))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-1)
+
+
+def test_assemble_propagator_pk():
+    """Packed assembly path == full-layout assembly + prop_to_device."""
+    from tpuqcd.phys.propagator import (assemble_propagator_pk,
+                                        full_to_packed)
+    key = jax.random.PRNGKey(8)
+    cols_full, cols_pk = [], []
+    for k in jax.random.split(key, 12):
+        kr, ki = jax.random.split(k)
+        shape = (*[LAT.Lt, LAT.Lz, LAT.Ly, LAT.Lx], 4, 3)
+        f = jax.lax.complex(jax.random.normal(kr, shape, jnp.float32),
+                            jax.random.normal(ki, shape, jnp.float32))
+        cols_full.append(f)
+        cols_pk.append(full_to_packed(f, LAT))
+    got = assemble_propagator_pk(cols_pk)
+    cols = jnp.stack(cols_full).reshape(4, 3, *cols_full[0].shape)
+    prop_full = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
+    want = prop_to_device(prop_full, LAT)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)

@@ -60,3 +60,48 @@ def test_cg_batched_matches_sequential():
         r = b[k] - normal(res.x[k])
         rel = float(jnp.sqrt(norm2(r) / norm2(b[k])))
         assert rel < 5e-6, (k, rel)
+
+
+def test_packed_ndeg_vs_host():
+    """PackedNdegTMOperator (fused kernels, interpret) == host
+    NdegTMOperator through layout conversion; dagger identity holds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpuqcd import su3
+    from tpuqcd.fields import (apply_boundary_phase, gauge_full_to_eo,
+                               random_spinor)
+    from tpuqcd.lattice import Lattice
+    from tpuqcd.operators import NdegTMOperator, PackedNdegTMOperator
+    from tpuqcd.ops.layout import gauge_to_device
+    from tpuqcd.phys.propagator import full_to_packed, packed_to_full
+    from tpuqcd.utils.packed import pack_gauge
+
+    lat = Lattice((4, 4, 4, 8))
+    u_full = apply_boundary_phase(
+        su3.random_gauge(jax.random.PRNGKey(0), lat), lat)
+    u_pk = pack_gauge(gauge_to_device(gauge_full_to_eo(u_full, lat), lat))
+    host = NdegTMOperator(lat=lat, kappa=0.13, mubar=0.05, epsbar=0.03)
+    dev = PackedNdegTMOperator.create(lat, u_pk, 0.13, 0.05, 0.03,
+                                      backend="xla")
+    chi = jnp.stack([random_spinor(jax.random.PRNGKey(1), lat),
+                     random_spinor(jax.random.PRNGKey(2), lat)])
+    chi_pk = jnp.stack([full_to_packed(chi[0], lat),
+                        full_to_packed(chi[1], lat)])
+    # full_to_packed gives [2par, 2ri, ...]; operator wants [2ri, 2par, ..]
+    chi_pk = jnp.swapaxes(chi_pk, 1, 2)
+    for name, got_pk, want in (
+            ("apply", dev.apply(chi_pk), host.apply(u_full, chi)),
+            ("dagger", dev.apply_dagger(chi_pk),
+             host.apply_dagger(u_full, chi))):
+        for f in range(2):
+            got = packed_to_full(jnp.swapaxes(got_pk[f], 0, 1), lat)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want[f]), atol=5e-5,
+                                       err_msg=name)
+
+    # pallas-interpret path == xla path
+    devp = PackedNdegTMOperator.create(lat, u_pk, 0.13, 0.05, 0.03,
+                                       backend="pallas", interpret=True)
+    np.testing.assert_allclose(np.asarray(devp.apply(chi_pk)),
+                               np.asarray(dev.apply(chi_pk)), atol=5e-5)

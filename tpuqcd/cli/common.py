@@ -33,8 +33,20 @@ def parse_args(description: str):
     # inputs.  (Full-layout complex arrays cannot materialize on the axon
     # TPU backend, so the default device must be the CPU.)
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    global _ACCEL
+    if args.device == "cpu":
+        _ACCEL = jax.devices("cpu")[0]
     from ..utils.config import load_config
     return load_config(args.config), args
+
+
+_ACCEL = None
+
+
+def accel():
+    """The accelerator device for solves/contractions (honors
+    ``--device cpu``)."""
+    return _ACCEL if _ACCEL is not None else jax.devices()[0]
 
 
 def setup_gauge(cfg):
@@ -77,7 +89,7 @@ def setup_gauge(cfg):
                                          cfg.gauge.antiperiodic_t)
         u_dev_bc = gauge_to_device(gauge_full_to_eo(u_full_bc, lat), lat)
         u_pk_host = pack_gauge(u_dev_bc)
-    u_pk = jax.device_put(u_pk_host, jax.devices()[0])
+    u_pk = jax.device_put(u_pk_host, accel())
     return lat, u_full_bc, u_pk, u_dev_bc
 
 
@@ -148,24 +160,33 @@ def make_solver(cfg, lat, u_pk, u_full):
                         f"{cfg.mg.vec_outfile}.f{flavor:+d}.npz", mg)
             mgs[flavor] = mg
 
-        def solve(b_full, flavor=+1):
-            from ..fields import eo_to_full
-            from ..ops.layout import spinor_from_device
+        def solve_pk(b_full, flavor=+1):
+            """packed f32 solution on the accelerator (device-contraction
+            consumers: phys.contract_dev)."""
             from ..solve import solve_tm_mg
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 b_pk = full_to_packed(b_full, lat)
-            b_pk = jax.device_put(b_pk, jax.devices()[0])
+            b_pk = jax.device_put(b_pk, accel())
             res = solve_tm_mg(mgs[flavor], b_pk, tol=cfg.solver.tol,
                               inner_tol=cfg.solver.inner_tol)
             log.info("  mg solve: relres=%.2e iters=%d",
                      float(res.relres), int(res.iters))
+            return res
+
+        def solve(b_full, flavor=+1):
+            from ..fields import eo_to_full
+            from ..ops.layout import spinor_from_device
+            res = solve_pk(b_full, flavor)
+            cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 # keep f64 end-to-end so the certified tolerance survives
                 x64 = jax.device_put(res.x, cpu)
                 c = jax.lax.complex(x64[:, 0], x64[:, 1])
                 return eo_to_full(spinor_from_device(c, lat), lat)
 
+        solve.packed = lambda b_full, flavor=+1: \
+            solve_pk(b_full, flavor).x.astype(jnp.float32)
         return solve
 
     from functools import partial
@@ -184,14 +205,19 @@ def make_solver(cfg, lat, u_pk, u_full):
 
     cpu = jax.devices("cpu")[0]
 
-    def solve(b_full, flavor=+1):
+    def solve_pk(b_full, flavor=+1):
         with jax.default_device(cpu):
             b_pk = full_to_packed(b_full, lat)
-        b_pk = jax.device_put(b_pk, jax.devices()[0])
+        b_pk = jax.device_put(b_pk, accel())
         x_pk, relres, iters = _solve_jit(u_pk, b_pk, int(flavor))
         log.info("  solve: relres=%.2e iters=%d", float(relres),
                  int(iters))
+        return x_pk
+
+    def solve(b_full, flavor=+1):
+        x_pk = solve_pk(b_full, flavor)
         with jax.default_device(cpu):
             return packed_to_full(jax.device_put(x_pk, cpu), lat)
 
+    solve.packed = solve_pk
     return solve

@@ -11,16 +11,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from .common import log, make_solver, parse_args, setup_gauge, smeared_gauge
+from .common import (accel, log, make_solver, parse_args, setup_gauge,
+                     smeared_gauge)
 
 
 def main():
+    import os
+
+    import jax
     import jax.numpy as jnp
     from ..gammas import GAMMA5, PARITY_PLUS, PARITY_MINUS
     from ..io.hdf5io import write_twop
     from ..phys.contract import meson_2pt, proton_2pt
-    from ..phys.propagator import point_sources, smear_sources
-    from ..phys.smear import gaussian_smear
+    from ..phys.contract_dev import meson_2pt_dev, proton_2pt_dev
+    from ..phys.propagator import (assemble_propagator_pk, point_sources,
+                                   sink_smear_packed, smear_sources)
 
     cfg, args = parse_args(__doc__)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
@@ -28,8 +33,18 @@ def main():
     solve = make_solver(cfg, lat, u_pk, u_full)
     momenta = np.asarray(cfg.physics.momenta)
 
+    # device contraction path: propagators stay packed on the accelerator
+    # and the Wick engine (phys/contract_dev.py) streams there; only the
+    # tiny density crosses to the host for momentum projection
+    acc = accel()
+    use_dev = (acc.platform != "cpu"
+               or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
+    if use_dev and cfg.physics.smear_n_gauss > 0:
+        u_sm_acc = jax.device_put(u_sm, acc)
+
     for src in cfg.physics.source_positions:
-        log.info("source %s", src)
+        log.info("source %s (contractions on %s)", src,
+                 "device" if use_dev else "host")
         srcs = point_sources(lat, tuple(src))
         if cfg.physics.smear_n_gauss > 0:
             srcs = smear_sources(u_sm, srcs, lat,
@@ -41,29 +56,42 @@ def main():
             cols = []
             for s in range(4):
                 for c in range(3):
-                    cols.append(solve(srcs[s, c], flavor=flavor))
-            cols = jnp.stack(cols).reshape(4, 3, *lat.full_shape, 4, 3)
-            props[name] = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
-        # sink smearing (smeared-smeared correlators)
-        if cfg.physics.smear_n_gauss > 0:
+                    if use_dev:
+                        x = solve.packed(srcs[s, c], flavor=flavor)
+                        if cfg.physics.smear_n_gauss > 0:
+                            x = sink_smear_packed(
+                                u_sm_acc, x, lat,
+                                cfg.physics.smear_alpha_gauss,
+                                cfg.physics.smear_n_gauss)
+                    else:
+                        x = solve(srcs[s, c], flavor=flavor)
+                    cols.append(x)
+            if use_dev:
+                props[name] = assemble_propagator_pk(cols)
+            else:
+                cols = jnp.stack(cols).reshape(4, 3, *lat.full_shape, 4, 3)
+                props[name] = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
+        if not use_dev and cfg.physics.smear_n_gauss > 0:
             from ..phys.propagator import sink_smear_propagator
             for k in props:
                 props[k] = sink_smear_propagator(
                     u_sm, props[k], lat, cfg.physics.smear_alpha_gauss,
                     cfg.physics.smear_n_gauss)
 
+        proton = proton_2pt_dev if use_dev else proton_2pt
+        meson = meson_2pt_dev if use_dev else meson_2pt
         tag = f"sx{src[3]}sy{src[2]}sz{src[1]}st{src[0]}"
         for pname, proj in (("P+", PARITY_PLUS), ("P-", PARITY_MINUS)):
             if pname not in cfg.physics.projectors:
                 continue
-            c2 = proton_2pt(props["u"], props["d"], lat, momenta,
-                            src_pos=tuple(src), proj=proj)
+            c2 = proton(props["u"], props["d"], lat, momenta,
+                        src_pos=tuple(src), proj=proj)
             write_twop(cfg.physics.output,
                        f"twop/proton/{pname}/{tag}", np.asarray(c2),
                        momenta, src, meta={"kappa": cfg.action.kappa,
                                            "mu": cfg.action.mu})
-        cpi = meson_2pt(props["u"], props["u"], GAMMA5, lat, momenta,
-                        src_pos=tuple(src))
+        cpi = meson(props["u"], props["u"], GAMMA5, lat, momenta,
+                    src_pos=tuple(src))
         write_twop(cfg.physics.output, f"twop/pion/{tag}",
                    np.asarray(cpi), momenta, src)
         log.info("wrote correlators for %s -> %s", tag,

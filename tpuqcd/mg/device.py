@@ -549,7 +549,6 @@ def _mu_parity_masks(dims_c):
             for mu in range(4)]
 
 
-@jax.jit
 def _probe_color(level, transfer, ek):
     """ek one-hot [n_c] -> (fwd[4], bwd[4], full) coarse columns.
 
@@ -580,18 +579,30 @@ def _probe_color(level, transfer, ek):
     return jnp.stack(fwd), jnp.stack(bwd), full
 
 
-def build_coarse_device(level, transfer) -> DeviceCoarseLevel:
+# probe a CHUNK of coarse colors in one jitted program: the level's
+# gauge/link reads amortize over the batch (the hop applies dominate the
+# MG setup wallclock)
+_probe_colors = jax.jit(jax.vmap(_probe_color, in_axes=(None, None, 0)))
+
+
+def build_coarse_device(level, transfer,
+                        probe_chunk: int = 4) -> DeviceCoarseLevel:
     """A_c = R A P as explicit nearest-neighbor links, by colored probing
-    (one jitted call per coarse color runs all 17 probes; see the host
-    mg/coarse.py for the algorithm derivation)."""
+    (all 17 probes of `probe_chunk` coarse colors per jitted call; see
+    the host mg/coarse.py for the algorithm derivation)."""
     n_c = transfer.n_c
-    fwd_cols, bwd_cols, diag_cols = [], [], []
+    chunk = probe_chunk
+    while n_c % chunk:
+        chunk //= 2
     eye = np.eye(n_c, dtype=np.float32)
-    for k in range(n_c):
-        f, b, d = _probe_color(level, transfer, jnp.asarray(eye[k]))
-        fwd_cols.append(f)
-        bwd_cols.append(b)
-        diag_cols.append(d)
+    fwd_cols, bwd_cols, diag_cols = [], [], []
+    for k0 in range(0, n_c, chunk):
+        f, b, d = _probe_colors(level, transfer,
+                                jnp.asarray(eye[k0:k0 + chunk]))
+        # batch axis 0 = color k
+        fwd_cols.extend(f[i] for i in range(chunk))
+        bwd_cols.extend(b[i] for i in range(chunk))
+        diag_cols.extend(d[i] for i in range(chunk))
     # columns k on a new axis 3 (after [2ri?]): assemble [2, 9, n, n, ...]
     fwd = jnp.stack(fwd_cols, axis=3)    # [4, 2, n_row, n_col, Tc, Zc, Sc]
     bwd = jnp.stack(bwd_cols, axis=3)

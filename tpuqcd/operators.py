@@ -500,3 +500,50 @@ class PackedTMOperatorPC:
         t = b_pk[1] + jnp.asarray(self.kappa, x_e.dtype) * d
         x_o = twist_inv_apply_pk(t, self.kappa, self.mu, self.flavor)
         return jnp.stack([x_e, x_o], axis=0)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["lv_p", "lv_m"], meta_fields=["kappa", "epsbar"])
+@dataclasses.dataclass
+class PackedNdegTMOperator:
+    """Production non-degenerate TM doublet on packed fields.
+
+    chi [2(flavor), 2(ri), 2(par), 4, 3, T, Z, S];
+    M_nd = 1 + 2 i kappa mubar g5 tau3 + 2 kappa epsbar tau1 - kappa D
+    (reference dslash_ndeg_twisted_mass [U]; SURVEY.md C5).  The
+    flavor-diagonal part runs as the fused full-M Pallas launches
+    (mg.device.DeviceFineLevel, reconstruct-12 links); the epsbar tau1
+    mixing is one axpy.  Use .create() to build (slices the compressed
+    gauge once).
+    """
+    lv_p: object      # DeviceFineLevel flavor +1 (mu = mubar)
+    lv_m: object      # DeviceFineLevel flavor -1
+    kappa: float
+    epsbar: float
+
+    @classmethod
+    def create(cls, lat: Lattice, u_pk: jax.Array, kappa: float,
+               mubar: float, epsbar: float, backend: str = "pallas",
+               interpret: bool = False) -> "PackedNdegTMOperator":
+        from .mg.device import DeviceFineLevel
+        lv_p = DeviceFineLevel(lat, u_pk, kappa, mubar, +1,
+                               backend=backend, interpret=interpret)
+        lv_m = dataclasses.replace(lv_p, flavor=-1)
+        return cls(lv_p=lv_p, lv_m=lv_m, kappa=kappa, epsbar=epsbar)
+
+    def apply(self, chi: jax.Array) -> jax.Array:
+        e = jnp.asarray(2.0 * self.kappa * self.epsbar, chi.dtype)
+        return jnp.stack([self.lv_p.apply(chi[0]) + e * chi[1],
+                          self.lv_m.apply(chi[1]) + e * chi[0]])
+
+    @staticmethod
+    def _g5_tau1(chi):
+        g5 = jnp.asarray(_G5_DIAG, chi.dtype).reshape(1, 1, 1, 4, 1, 1, 1, 1)
+        return jnp.flip(chi, axis=0) * g5
+
+    def apply_dagger(self, chi: jax.Array) -> jax.Array:
+        # gamma5 tau1 Hermiticity: M^dag = (g5 tau1) M (g5 tau1)
+        return self._g5_tau1(self.apply(self._g5_tau1(chi)))
+
+    def normal(self, chi: jax.Array) -> jax.Array:
+        return self.apply_dagger(self.apply(chi))

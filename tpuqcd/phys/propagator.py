@@ -106,3 +106,24 @@ def sink_smear_propagator(u_smear_dev, prop: jax.Array, lat: Lattice,
             cols.append(eo_to_full(spinor_from_device(sm, lat), lat))
     cols = jnp.stack(cols).reshape(4, 3, *prop.shape[:4], 4, 3)
     return jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
+
+
+def assemble_propagator_pk(cols_pk) -> jax.Array:
+    """12 packed solutions [2(par), 2(ri), 4, 3, T, Z, S] (source-major
+    s*3+c order) -> packed device propagator
+    [2(ri), 2(par), 4(snk s), 3, 4(src s), 3, T, Z, S]
+    (phys.contract_dev layout — the device contraction input)."""
+    p = jnp.stack(list(cols_pk))        # [12, 2par, 2ri, 4, 3, T, Z, S]
+    p = p.reshape(4, 3, *p.shape[1:])
+    return jnp.transpose(p, (3, 2, 4, 5, 0, 1, 6, 7, 8))
+
+
+def sink_smear_packed(u_smear_dev, x_pk: jax.Array, lat: Lattice,
+                      alpha: float, n_steps: int) -> jax.Array:
+    """Gaussian-smear one packed solution [2(par), 2(ri), 4, 3, T, Z, S]
+    in the complex device layout (stays on the accelerator)."""
+    from .smear import gaussian_smear
+    dev = jax.lax.complex(x_pk[:, 0], x_pk[:, 1])   # [2par, 4, 3, T, Z, S]
+    sm = gaussian_smear(u_smear_dev, dev, lat, alpha, n_steps)
+    return jnp.stack([jnp.real(sm), jnp.imag(sm)], axis=1) \
+        .astype(x_pk.dtype)
