@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--setup-iters", type=int, default=40)
     ap.add_argument("--with-cg", action="store_true")
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--smoother-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     from tpuqcd import su3
@@ -52,7 +54,8 @@ def main():
 
     blocks = ((4, 4, 4, 4), (2, 2, 2, 2), (2, 2, 2, 2))[:len(args.n_vec)]
     params = DeviceMGParams(n_vec=tuple(args.n_vec), block=blocks,
-                            setup_iters=args.setup_iters)
+                            setup_iters=args.setup_iters,
+                            smoother_dtype=args.smoother_dtype)
 
     t0 = time.perf_counter()
     mg = setup_multigrid(u_pk, lat, kappa=args.kappa, mu=args.mu,
@@ -76,12 +79,21 @@ def main():
 
     if args.with_cg:
         from tpuqcd.solve import solve_tm
-        res_cg = solve_tm(u_pk, b_pk, lat, kappa=args.kappa, mu=args.mu,
-                          tol=args.tol)  # warm
+
+        @jax.jit
+        def cg_jit(u_a, b_a):
+            r = solve_tm(u_a, b_a, lat, kappa=args.kappa, mu=args.mu,
+                         tol=args.tol)
+            return r.x, r.relres, r.iters
+
+        x, rel, it = cg_jit(u_pk, b_pk)  # warm/compile
+        jax.block_until_ready(x)
         t0 = time.perf_counter()
-        res_cg = solve_tm(u_pk, b_pk, lat, kappa=args.kappa, mu=args.mu,
-                          tol=args.tol)
+        x, rel, it = cg_jit(u_pk, b_pk)
+        jax.block_until_ready(x)
         t_cg = time.perf_counter() - t0
+        from types import SimpleNamespace
+        res_cg = SimpleNamespace(relres=rel, iters=it)
         print(json.dumps({
             "metric": "cg_solve_wallclock_1e10", "value": round(t_cg, 3),
             "unit": "s", "relres": float(res_cg.relres),

@@ -167,3 +167,26 @@ def test_pallas_recon12_periodic_t():
                            t_boundary=1, interpret=True)
     np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
                                np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_dirs_single_leg():
+    """The dirs leg filter: each single-leg kernel call matches the XLA
+    dirs path, and the legs sum to the full Dslash."""
+    from tpuqcd.ops.dslash_xla import dslash_eo_dev_ri
+    from tpuqcd.utils.packed import pack_gauge12
+    u, psi = _setup()
+    u_pk, u12, psi_pk = pack_gauge(u), pack_gauge12(u), pack_spinor(psi)
+    total = None
+    for mu in range(4):
+        for sign in (+1, -1):
+            got = dslash_eo_pallas(u12, psi_pk, EVEN, LAT,
+                                   dirs=((mu, sign),), interpret=True)
+            want = dslash_eo_dev_ri(u_pk, psi_pk, EVEN, LAT,
+                                    dirs=((mu, sign),))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5,
+                                       err_msg=f"mu={mu} sign={sign}")
+            total = got if total is None else total + got
+    full = dslash_eo_pallas(u12, psi_pk, EVEN, LAT, interpret=True)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(full),
+                               atol=5e-5)

@@ -13,9 +13,26 @@ bookkeeping and rare true-residual recomputations use (emulated) f64,
 replacing the reference's fp64 reduction accumulators (SURVEY.md §8.3
 hard part #1).
 """
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache (the reference's tunecache.tsv role,
+# SURVEY.md C14/X1, extended to whole programs): remote TPU compiles cost
+# 20-120 s per shape, so fresh processes replay them from disk.  Opt out
+# with TPUQCD_NO_COMPILE_CACHE=1; respects a user-set cache dir.
+if not _os.environ.get("TPUQCD_NO_COMPILE_CACHE"):
+    if _jax.config.jax_compilation_cache_dir is None:
+        _d = _os.path.join(
+            _os.environ.get("TPUQCD_RESOURCE_PATH",
+                            _os.path.expanduser("~/.cache/tpuqcd")),
+            "xla_cache")
+        _os.makedirs(_d, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _d)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
 
 from .lattice import Lattice  # noqa: E402,F401
 from . import gammas, su3, fields, operators  # noqa: E402,F401

@@ -137,12 +137,20 @@ class DeviceFineLevel:
 
     def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
         """Single hop term of M (including the -kappa), both parities."""
+        if self.backend == "pallas":
+            return _hop_full_pallas(self, v, mu, sign)
         return _hop_full(self.u_pk, self.lat, self.kappa, v, mu, sign)
 
     def as_hp(self) -> "DeviceFineLevel":
         """XLA-backend twin for f64 defect-correction residuals (f32
         gauge entries promote exactly into f64 hop products)."""
         return dataclasses.replace(self, backend="xla", u12_pk=None)
+
+    def sloppy(self, dtype=jnp.bfloat16) -> "DeviceFineLevel":
+        """Low-precision twin (compressed links cast) for the V-cycle
+        smoothers (the reference's half-precision smoother [U])."""
+        assert self.backend == "pallas"
+        return dataclasses.replace(self, u12_pk=self.u12_pk.astype(dtype))
 
     def random_field(self, key) -> jax.Array:
         shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,
@@ -158,6 +166,21 @@ def _hop_full(u_pk, lat, kappa, v, mu, sign):
     de = dslash_eo_dev_ri(u_pk, vo, 1, lat, dirs=((mu, sign),))
     do = dslash_eo_dev_ri(u_pk, ve, 0, lat, dirs=((mu, sign),))
     return jnp.stack([-kappa * de, -kappa * do], axis=1)
+
+
+def _hop_full_pallas(level, v, mu, sign):
+    """Single-leg hop via the fused kernel's `dirs` filter — kernel-rate
+    probing (the XLA hop path runs ~100x slower per leg at 32^3x64)."""
+    from ..ops.dslash_pallas import dslash_eo_pallas
+
+    def leg(src, src_par):
+        return dslash_eo_pallas(
+            level.u12_pk, src, src_par, level.lat, dirs=((mu, sign),),
+            interpret=level.interpret, t_boundary=level.t_boundary)
+    ve = jnp.stack([v[0, 0], v[1, 0]])
+    vo = jnp.stack([v[0, 1], v[1, 1]])
+    k = level.kappa
+    return jnp.stack([-k * leg(vo, 1), -k * leg(ve, 0)], axis=1)
 
 
 def _itwg5_pk(v_par, tw):
@@ -231,10 +254,18 @@ class DeviceFineCloverLevel:
         return jnp.stack(out, axis=1)
 
     def apply_hop(self, v: jax.Array, mu: int, sign: int) -> jax.Array:
+        if self.backend == "pallas":
+            return _hop_full_pallas(self, v, mu, sign)
         return _hop_full(self.u_pk, self.lat, self.kappa, v, mu, sign)
 
     def as_hp(self) -> "DeviceFineCloverLevel":
         return dataclasses.replace(self, backend="xla", u12_pk=None)
+
+    def sloppy(self, dtype=jnp.bfloat16) -> "DeviceFineCloverLevel":
+        assert self.backend == "pallas"
+        return dataclasses.replace(
+            self, u12_pk=self.u12_pk.astype(dtype),
+            clover_pk=self.clover_pk.astype(dtype))
 
     def random_field(self, key) -> jax.Array:
         shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,
@@ -579,14 +610,14 @@ def _probe_color(level, transfer, ek):
     return jnp.stack(fwd), jnp.stack(bwd), full
 
 
-# probe a CHUNK of coarse colors in one jitted program: the level's
-# gauge/link reads amortize over the batch (the hop applies dominate the
-# MG setup wallclock)
+# probe a CHUNK of coarse colors in one jitted program.  Measured on the
+# v5e: chunk=1 wins (57 s RAP at 32^3x64) — the vmapped graph compiles
+# and runs ~4x slower (247 s), so batching stays opt-in.
 _probe_colors = jax.jit(jax.vmap(_probe_color, in_axes=(None, None, 0)))
 
 
 def build_coarse_device(level, transfer,
-                        probe_chunk: int = 4) -> DeviceCoarseLevel:
+                        probe_chunk: int = 1) -> DeviceCoarseLevel:
     """A_c = R A P as explicit nearest-neighbor links, by colored probing
     (all 17 probes of `probe_chunk` coarse colors per jitted call; see
     the host mg/coarse.py for the algorithm derivation)."""

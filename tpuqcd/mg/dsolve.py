@@ -39,6 +39,10 @@ class DeviceMGParams:
     restart: int = 8
     mu_factor: float = 6.0
     seed: int = 7
+    #: "bfloat16" runs the fine-level smoothers on a low-precision twin
+    #: (the reference's half-precision smoother); residuals/corrections
+    #: stay f32 and flexible GCR absorbs the preconditioner perturbation
+    smoother_dtype: str = "float32"
 
 
 class DeviceMG:
@@ -85,6 +89,9 @@ class DeviceMG:
         if params.mu_factor != 1.0 and fine.mu != 0.0:
             delta = 2.0 * fine.kappa * fine.mu * (params.mu_factor - 1.0)
             self.levels[-1] = self.levels[-1].boosted(delta)
+        self.sloppy_fine = (fine.sloppy(jnp.bfloat16)
+                            if params.smoother_dtype == "bfloat16"
+                            else None)
 
     @staticmethod
     def _gen_null_vectors(level, n_vec, iters, key):
@@ -108,22 +115,32 @@ class DeviceMG:
 
     @property
     def state(self):
-        return (tuple(self.levels), tuple(self.transfers))
+        return (tuple(self.levels), tuple(self.transfers),
+                getattr(self, "sloppy_fine", None))
 
     def _vcycle(self, state, depth: int, b):
         p = self.params
-        levels, transfers = state
+        levels, transfers, sfine = state
         lv = levels[depth]
         if depth == len(levels) - 1:
             return gcr_fixed_pk(lv.apply, b, iters=p.coarse_iters,
                                 restart=p.restart)
+
+        def smooth(rhs):
+            if depth == 0 and sfine is not None:
+                xs = mr_smoother_pk(sfine.apply,
+                                    rhs.astype(jnp.bfloat16),
+                                    iters=p.smoother_iters)
+                return xs.astype(jnp.float32)
+            return mr_smoother_pk(lv.apply, rhs, iters=p.smoother_iters)
+
         tr = transfers[depth]
-        x = mr_smoother_pk(lv.apply, b, iters=p.smoother_iters)
+        x = smooth(b)
         r = pk.caxpy(-1.0, 0.0, lv.apply(x), b)
         xc = self._vcycle(state, depth + 1, tr.restrict(r))
         x = x + tr.prolong(xc)
         r = pk.caxpy(-1.0, 0.0, lv.apply(x), b)
-        return x + mr_smoother_pk(lv.apply, r, iters=p.smoother_iters)
+        return x + smooth(r)
 
     def precondition(self, r):
         """One V-cycle ~ A^{-1} r (traced; use inside flexible GCR)."""

@@ -62,7 +62,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             lat: Lattice, parity: int, dagger: bool,
             epilogue: str, kappa: float, mu: float, flavor: int, Zb: int,
             z_blocked: bool, compute_dtype, recon12: bool, t_boundary: int,
-            T_total: int, xpay_scale):
+            T_total: int, xpay_scale, dirs):
     """One [Zb, S] slab; see module docstring for the stencil plan."""
     rest = list(rest)
     if z_blocked:
@@ -236,73 +236,85 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
 
     pr, pi = load_psi(psi_c_ref, Zb)
     acc = None
+    legs = dirs if dirs is not None else tuple(
+        (m_, s_) for m_ in range(4) for s_ in (+1, -1))
 
     # ---- x, y: fully in-slab -------------------------------------------
     for mu_ in range(2):
-        hr, hi = proj(hpm[mu_], pr, pi)
-        hr, hi = shift_fwd_xy(hr, mu_), shift_fwd_xy(hi, mu_)
-        u_re, u_im = load_u(mu_, q)
-        hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
-        acc = recon_accum(hrm[mu_], hr, hi, acc)
+        if (mu_, +1) in legs:
+            hr, hi = proj(hpm[mu_], pr, pi)
+            hr, hi = shift_fwd_xy(hr, mu_), shift_fwd_xy(hi, mu_)
+            u_re, u_im = load_u(mu_, q)
+            hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
+            acc = recon_accum(hrm[mu_], hr, hi, acc)
 
-        hr, hi = proj(hpp[mu_], pr, pi)
-        u_re, u_im = load_u(mu_, p)
-        hr, hi = su3_mv(u_re, u_im, hr, hi, dag=True)
-        hr, hi = shift_bwd_xy(hr, mu_), shift_bwd_xy(hi, mu_)
-        acc = recon_accum(hrp[mu_], hr, hi, acc)
+        if (mu_, -1) in legs:
+            hr, hi = proj(hpp[mu_], pr, pi)
+            u_re, u_im = load_u(mu_, p)
+            hr, hi = su3_mv(u_re, u_im, hr, hi, dag=True)
+            hr, hi = shift_bwd_xy(hr, mu_), shift_bwd_xy(hi, mu_)
+            acc = recon_accum(hrp[mu_], hr, hi, acc)
 
     # ---- z: in-slab roll (+ neighbor-slab halo rows when Z is blocked) --
     blocked = psi_zp_ref is not None
-    # forward: (1-gz) U_z(x)|q psi(x+z)
-    hr, hi = proj(hpm[2], pr, pi)
-    if blocked:
-        # last local row comes from row 0 of the zb+1 slab
-        zp_r, zp_i = load_psi(psi_zp_ref, Zb)
-        hhr, hhi = proj(hpm[2], zp_r[:, :, :1], zp_i[:, :, :1])  # [2,3,1,S]
-        hr = jnp.where(is_zhi, hhr, roll_z(hr, -1))
-        hi = jnp.where(is_zhi, hhi, roll_z(hi, -1))
-    else:
-        hr, hi = roll_z(hr, -1), roll_z(hi, -1)
-    u_re, u_im = load_u(2, q)
-    hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
-    acc = recon_accum(hrm[2], hr, hi, acc)
+    if (2, +1) in legs:
+        # forward: (1-gz) U_z(x)|q psi(x+z)
+        hr, hi = proj(hpm[2], pr, pi)
+        if blocked:
+            # last local row comes from row 0 of the zb+1 slab
+            zp_r, zp_i = load_psi(psi_zp_ref, Zb)
+            hhr, hhi = proj(hpm[2], zp_r[:, :, :1], zp_i[:, :, :1])
+            hr = jnp.where(is_zhi, hhr, roll_z(hr, -1))
+            hi = jnp.where(is_zhi, hhi, roll_z(hi, -1))
+        else:
+            hr, hi = roll_z(hr, -1), roll_z(hi, -1)
+        u_re, u_im = load_u(2, q)
+        hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
+        acc = recon_accum(hrm[2], hr, hi, acc)
 
-    # backward: (1+gz) U_z(x-z)|p^dag psi(x-z)
-    hr, hi = proj(hpp[2], pr, pi)
-    u_re, u_im = load_u(2, p)
-    gr, gi = su3_mv(u_re, u_im, hr, hi, dag=True)
-    if blocked:
-        # row 0 computed from the last row of the zb-1 psi/gauge slabs
-        zm_r, zm_i = load_psi(psi_zm_ref, Zb)
-        hhr, hhi = proj(hpp[2], zm_r[:, :, Zb - 1:], zm_i[:, :, Zb - 1:])
-        um = u_zm_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
-        uzr, uzi = um[:, :, 0, Zb - 1:], um[:, :, 1, Zb - 1:]
-        if recon12:
-            uzr, uzi = recon_full(uzr, uzi, None)
-        ghr, ghi = su3_mv(uzr, uzi, hhr, hhi, dag=True)
-        gr = jnp.where(is_zlo, ghr, roll_z(gr, +1))
-        gi = jnp.where(is_zlo, ghi, roll_z(gi, +1))
-    else:
-        gr, gi = roll_z(gr, +1), roll_z(gi, +1)
-    acc = recon_accum(hrp[2], gr, gi, acc)
+    if (2, -1) in legs:
+        # backward: (1+gz) U_z(x-z)|p^dag psi(x-z)
+        hr, hi = proj(hpp[2], pr, pi)
+        u_re, u_im = load_u(2, p)
+        gr, gi = su3_mv(u_re, u_im, hr, hi, dag=True)
+        if blocked:
+            # row 0 computed from the last row of the zb-1 psi/gauge slabs
+            zm_r, zm_i = load_psi(psi_zm_ref, Zb)
+            hhr, hhi = proj(hpp[2], zm_r[:, :, Zb - 1:],
+                            zm_i[:, :, Zb - 1:])
+            um = u_zm_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
+            uzr, uzi = um[:, :, 0, Zb - 1:], um[:, :, 1, Zb - 1:]
+            if recon12:
+                uzr, uzi = recon_full(uzr, uzi, None)
+            ghr, ghi = su3_mv(uzr, uzi, hhr, hhi, dag=True)
+            gr = jnp.where(is_zlo, ghr, roll_z(gr, +1))
+            gi = jnp.where(is_zlo, ghi, roll_z(gi, +1))
+        else:
+            gr, gi = roll_z(gr, +1), roll_z(gi, +1)
+        acc = recon_accum(hrp[2], gr, gi, acc)
 
     # ---- t: via the t+-1 slab refs -------------------------------------
-    pr1, pi1 = load_psi(psi_p1_ref, Zb)
-    hr, hi = proj(hpm[3], pr1, pi1)
-    u_re, u_im = load_u(3, q)
-    hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
-    acc = recon_accum(hrm[3], hr, hi, acc)
+    if (3, +1) in legs:
+        pr1, pi1 = load_psi(psi_p1_ref, Zb)
+        hr, hi = proj(hpm[3], pr1, pi1)
+        u_re, u_im = load_u(3, q)
+        hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
+        acc = recon_accum(hrm[3], hr, hi, acc)
 
-    prm, pim = load_psi(psi_m1_ref, Zb)
-    hr, hi = proj(hpp[3], prm, pim)
-    um = u_tm1_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
-    utr, uti = um[:, :, 0], um[:, :, 1]
-    if recon12:
-        # backward-t link lives at t-1, i.e. at T-1 exactly when t == 0
-        utr, uti = recon_full(utr, uti, t_phase(t == 0))
-    hr, hi = su3_mv(utr, uti, hr, hi, dag=True)
-    acc = recon_accum(hrp[3], hr, hi, acc)
+    if (3, -1) in legs:
+        prm, pim = load_psi(psi_m1_ref, Zb)
+        hr, hi = proj(hpp[3], prm, pim)
+        um = u_tm1_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
+        utr, uti = um[:, :, 0], um[:, :, 1]
+        if recon12:
+            # backward-t link lives at t-1 = T-1 exactly when t == 0
+            utr, uti = recon_full(utr, uti, t_phase(t == 0))
+        hr, hi = su3_mv(utr, uti, hr, hi, dag=True)
+        acc = recon_accum(hrp[3], hr, hi, acc)
 
+    if acc is None:
+        z_ = jnp.zeros((4, 3, Zb, S), f32)
+        acc = (z_, z_)
     dr, di = acc  # [4, 3, Zb, S]
 
     # ---- epilogue ------------------------------------------------------
@@ -378,7 +390,8 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     jax.jit,
     static_argnames=("src_parity", "lat", "dagger", "epilogue", "kappa",
                      "mu", "flavor", "block_z", "interpret", "local_dims",
-                     "halo_t", "halo_z", "t_boundary", "xpay_scale"))
+                     "halo_t", "halo_z", "t_boundary", "xpay_scale",
+                     "dirs"))
 def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      lat: Lattice, dagger: bool = False,
                      epilogue: str = "none", kappa: float = 0.0,
@@ -391,7 +404,8 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      halo_t: bool = False,
                      halo_z: bool = False,
                      t_boundary: int = -1,
-                     xpay_scale: float | None = None) -> jax.Array:
+                     xpay_scale: float | None = None,
+                     dirs: tuple | None = None) -> jax.Array:
     """Packed-real even-odd Dslash with fused site-term epilogues.
 
     u_pk [4,2,3,3,2,T,Z,S] full, or [4,2,2,3,2,T,Z,S] reconstruct-12
@@ -526,7 +540,7 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         _kernel, lat=lat, parity=p, dagger=dagger, epilogue=epilogue,
         kappa=kappa, mu=mu, flavor=flavor, Zb=Zb, z_blocked=z_blocked,
         compute_dtype=jnp.float32, recon12=recon12, t_boundary=t_boundary,
-        T_total=T, xpay_scale=xpay_scale)
+        T_total=T, xpay_scale=xpay_scale, dirs=dirs)
 
     flops = 1320 * (Z * S) * T
     bytes_acc = psi_pk.size * psi_pk.dtype.itemsize * 4 + \

@@ -95,6 +95,9 @@ def load_device_mg(path: str, fine_level, params):
     mg = DeviceMG.__new__(DeviceMG)
     mg.params = params
     mg.setup_seconds = {}
+    mg.sloppy_fine = (fine_level.sloppy()
+                      if getattr(params, "smoother_dtype", "float32")
+                      == "bfloat16" else None)
     mg.levels = [fine_level]
     mg.transfers = []
     level = fine_level
