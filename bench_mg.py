@@ -25,7 +25,10 @@ import jax.numpy as jnp  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, nargs=4, default=[32, 32, 32, 64])
-    ap.add_argument("--kappa", type=float, default=0.1373)
+    # kappa 0.24 sits near criticality on the random gauge (measured:
+    # plain CG needs ~4k iterations at mu=9e-4) — the regime adaptive MG
+    # exists for.  Physical ensembles reach it at their own kappa_c.
+    ap.add_argument("--kappa", type=float, default=0.24)
     ap.add_argument("--mu", type=float, default=0.0009)
     ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--n-vec", type=int, nargs="+", default=[8, 8])

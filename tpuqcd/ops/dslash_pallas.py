@@ -43,19 +43,23 @@ from ..operators import _G5_DIAG
 
 def _auto_block_z(Z: int, S: int, itemsize: int,
                   vmem_budget: int = 12 * 2**20) -> int:
-    """Largest divisor Zb of Z whose VMEM footprint fits the budget.
+    """Largest LEGAL divisor Zb of Z whose VMEM footprint fits the budget.
 
-    Accounting per z-row (double-buffered): psi blocks (center, t+-1, and
-    when blocked zb+-1) 5 x 24 x 2, gauge 144 x 2 + halo slices, out 24
-    x 2, psi0 24 x 2 => ~700 x S x itemsize bytes.
+    Legal per the Mosaic tiling rule: the second-minor block dim must be
+    a multiple of 8 or equal the full extent.  Accounting per z-row
+    (double-buffered): psi blocks (center, t+-1, and when blocked zb+-1)
+    5 x 24 x 2, gauge 144 x 2 + halo slices, out 24 x 2, psi0 24 x 2 =>
+    ~700 x S x itemsize bytes.
     """
     # the kernel upcasts blocks to f32 internally, so VMEM pressure is
     # bounded by the f32 footprint even for bf16 storage
     per_row = 700 * S * max(itemsize, 4)
-    zb = Z
-    while zb > 1 and (zb * per_row > vmem_budget or Z % zb != 0):
-        zb //= 2
-    return max(zb, 1)
+    legal = [z for z in range(1, Z + 1)
+             if Z % z == 0 and (z % 8 == 0 or z == Z)]
+    fitting = [z for z in legal if z * per_row <= vmem_budget]
+    # no legal size fits the soft budget: take the smallest legal one
+    # (VMEM is 128 MB; the 12 MB budget is a pipelining target, not a cap)
+    return max(fitting) if fitting else min(legal)
 
 
 def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
@@ -560,5 +564,9 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
             cost_estimate=pl.CostEstimate(flops=flops,
                                           bytes_accessed=bytes_acc,
                                           transcendentals=0),
+            # large volumes (e.g. 48^3x96: S=1152, Zb=8 minimum legal)
+            # need more than the default 16 MB scoped VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
             interpret=interpret,
         )(*operands)
