@@ -1,0 +1,123 @@
+"""End-to-end CLI smoke tests (SURVEY.md §4 entry points, tiny volumes).
+
+Each production program runs in-process on a 2^3 x 4 random gauge and
+must produce the expected HDF5 structure; the threeptwop program is run
+twice — host contractions and the device-contraction path
+(TPUQCD_DEVICE_CONTRACT=1, which on CPU exercises the same packed
+engines that run on the TPU) — and the two outputs must agree."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+TINY = """
+gauge:
+  dims: [2, 2, 2, 4]
+  random_seed: 3
+action: {{kappa: 0.11, mu: 0.07}}
+solver: {{tol: 1.0e-9, backend: xla}}
+physics:
+{physics}
+  output: {out}
+"""
+
+
+def _run(monkeypatch, tmp_path, module_main, physics, name, dev=False):
+    out = str(tmp_path / name)
+    cfgp = tmp_path / f"{name}.yaml"
+    cfgp.write_text(TINY.format(physics=physics, out=out))
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    if dev:
+        monkeypatch.setenv("TPUQCD_DEVICE_CONTRACT", "1")
+    else:
+        monkeypatch.delenv("TPUQCD_DEVICE_CONTRACT", raising=False)
+    module_main()
+    return out
+
+
+TWOP_PHYS = """  source_positions: [[0, 0, 0, 0]]
+  momenta: [[0, 0, 0], [1, 0, 0]]
+  smear_n_ape: 0
+  smear_n_gauss: 2
+  smear_alpha_gauss: 1.0
+  projectors: [P+]"""
+
+THREEP_PHYS = """  source_positions: [[0, 0, 0, 0]]
+  t_sinks: [2]
+  projectors: [P+]
+  momenta: [[0, 0, 0]]
+  smear_n_ape: 0
+  smear_n_gauss: 0"""
+
+LOOPS_PHYS = """  n_noise: 2
+  momenta: [[0, 0, 0]]"""
+
+
+def _h5_all(path):
+    vals = {}
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            vals[name] = np.asarray(obj)
+    with h5py.File(path, "r") as f:
+        f.visititems(visit)
+    return vals
+
+
+def test_cli_twop_host_vs_device(monkeypatch, tmp_path):
+    from tpuqcd.cli.run_twop import main
+    host = _run(monkeypatch, tmp_path, main, TWOP_PHYS, "twop_h.h5")
+    dev = _run(monkeypatch, tmp_path, main, TWOP_PHYS, "twop_d.h5",
+               dev=True)
+    vh, vd = _h5_all(host), _h5_all(dev)
+    assert any("twop/proton" in k for k in vh)
+    assert set(vh) == set(vd)
+    for k in vh:
+        np.testing.assert_allclose(vd[k], vh[k], rtol=5e-3,
+                                   atol=1e-5 * max(1.0, np.abs(vh[k]).max()))
+
+
+def test_cli_threeptwop_host_vs_device(monkeypatch, tmp_path):
+    from tpuqcd.cli.run_threeptwop import main
+    host = _run(monkeypatch, tmp_path, main, THREEP_PHYS, "tp_h.h5")
+    dev = _run(monkeypatch, tmp_path, main, THREEP_PHYS, "tp_d.h5",
+               dev=True)
+    vh, vd = _h5_all(host), _h5_all(dev)
+    assert any(k.startswith("threep/proton") for k in vh)
+    assert any(k.startswith("threep_der/proton") for k in vh)
+    assert set(vh) == set(vd)
+    for k in vh:
+        np.testing.assert_allclose(vd[k], vh[k], rtol=1e-2,
+                                   atol=1e-4 * max(1.0, np.abs(vh[k]).max()))
+
+
+def test_cli_loops(monkeypatch, tmp_path):
+    from tpuqcd.cli.run_loops import main
+    out = _run(monkeypatch, tmp_path, main, LOOPS_PHYS, "loops.h5")
+    vals = _h5_all(out)
+    assert vals, "loops CLI wrote no datasets"
+    # device-contraction path (different noise realization, same schema)
+    dev = _run(monkeypatch, tmp_path, main, LOOPS_PHYS, "loops_d.h5",
+               dev=True)
+    vd = _h5_all(dev)
+    assert set(vd) == set(vals)
+    for k in vd:
+        assert vd[k].shape == vals[k].shape
+        assert np.all(np.isfinite(vd[k]))
+
+
+def test_cli_invert(monkeypatch, tmp_path, capsys):
+    from tpuqcd.cli.run_invert import main
+    cfgp = tmp_path / "inv.yaml"
+    cfgp.write_text("""
+gauge: {dims: [2, 2, 2, 4], random_seed: 1}
+action: {kappa: 0.11, mu: 0.07}
+solver: {tol: 1.0e-9, solver: cg, backend: xla}
+""")
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    main()

@@ -160,19 +160,24 @@ def make_solver(cfg, lat, u_pk, u_full):
                         f"{cfg.mg.vec_outfile}.f{flavor:+d}.npz", mg)
             mgs[flavor] = mg
 
-        def solve_pk(b_full, flavor=+1):
-            """packed f32 solution on the accelerator (device-contraction
-            consumers: phys.contract_dev)."""
+        def solve_pk_src(b_pk, flavor=+1):
+            """packed source [2par, 2ri, 4, 3, T, Z, S] -> packed result
+            (the all-device pipeline entry: device seq sources etc.)."""
             from ..solve import solve_tm_mg
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                b_pk = full_to_packed(b_full, lat)
             b_pk = jax.device_put(b_pk, accel())
             res = solve_tm_mg(mgs[flavor], b_pk, tol=cfg.solver.tol,
                               inner_tol=cfg.solver.inner_tol)
             log.info("  mg solve: relres=%.2e iters=%d",
                      float(res.relres), int(res.iters))
             return res
+
+        def solve_pk(b_full, flavor=+1):
+            """packed f32 solution on the accelerator (device-contraction
+            consumers: phys.contract_dev)."""
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                b_pk = full_to_packed(b_full, lat)
+            return solve_pk_src(b_pk, flavor)
 
         def solve(b_full, flavor=+1):
             from ..fields import eo_to_full
@@ -187,6 +192,8 @@ def make_solver(cfg, lat, u_pk, u_full):
 
         solve.packed = lambda b_full, flavor=+1: \
             solve_pk(b_full, flavor).x.astype(jnp.float32)
+        solve.packed_src = lambda b_pk, flavor=+1: \
+            solve_pk_src(b_pk, flavor).x.astype(jnp.float32)
         return solve
 
     from functools import partial
@@ -205,14 +212,17 @@ def make_solver(cfg, lat, u_pk, u_full):
 
     cpu = jax.devices("cpu")[0]
 
-    def solve_pk(b_full, flavor=+1):
-        with jax.default_device(cpu):
-            b_pk = full_to_packed(b_full, lat)
+    def solve_pk_src(b_pk, flavor=+1):
         b_pk = jax.device_put(b_pk, accel())
         x_pk, relres, iters = _solve_jit(u_pk, b_pk, int(flavor))
         log.info("  solve: relres=%.2e iters=%d", float(relres),
                  int(iters))
         return x_pk
+
+    def solve_pk(b_full, flavor=+1):
+        with jax.default_device(cpu):
+            b_pk = full_to_packed(b_full, lat)
+        return solve_pk_src(b_pk, flavor)
 
     def solve(b_full, flavor=+1):
         x_pk = solve_pk(b_full, flavor)
@@ -220,4 +230,5 @@ def make_solver(cfg, lat, u_pk, u_full):
             return packed_to_full(jax.device_put(x_pk, cpu), lat)
 
     solve.packed = solve_pk
+    solve.packed_src = solve_pk_src
     return solve

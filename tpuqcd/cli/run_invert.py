@@ -48,7 +48,8 @@ def main():
         from ..solve import solve_tm
         from ..ops.dslash_xla import dslash_eo_dev_ri
         from ..operators import twist_apply_pk
-        b_pk = jax.device_put(full_to_packed(b, lat), jax.devices()[0])
+        from .common import accel
+        b_pk = jax.device_put(full_to_packed(b, lat), accel())
         sloppy = (jnp.bfloat16 if cfg.solver.sloppy_dtype == "bfloat16"
                   else jnp.float32)
         with prof.phase("solve"):

@@ -85,10 +85,30 @@ def main():
         est = loops_tsm(solve_cheap, solve_u, keys_cheap, keys,
                         INSERTION_GAMMAS, lat, momenta)
     else:
-        est = loops_stochastic(
-            None, keys, INSERTION_GAMMAS, lat, momenta, one_end=True,
-            kappa=cfg.action.kappa, mu=cfg.action.mu,
-            solve_fn_dag=solve_ddag)
+        from .common import accel
+        import os
+        acc = accel()
+        use_dev = (acc.platform != "cpu"
+                   or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
+        if use_dev:
+            # all-device path: packed noise, packed solves, streaming
+            # contraction + momentum projection (phys/loops_dev.py)
+            from ..phys.loops_dev import loops_stochastic_pk
+            g5pk = jnp.asarray(g5d, jnp.float32)[:, None, None, None, None]
+
+            def solve_ddag_pk(b_pk):
+                x = solve.packed_src(b_pk * g5pk, flavor=+1)
+                return x * g5pk
+
+            est = loops_stochastic_pk(
+                None, keys, INSERTION_GAMMAS, lat, momenta, one_end=True,
+                kappa=cfg.action.kappa, mu=cfg.action.mu,
+                solve_fn_dag_pk=solve_ddag_pk)
+        else:
+            est = loops_stochastic(
+                None, keys, INSERTION_GAMMAS, lat, momenta, one_end=True,
+                kappa=cfg.action.kappa, mu=cfg.action.mu,
+                solve_fn_dag=solve_ddag)
 
     names = list(est.keys())
     arr = np.stack([np.asarray(est[k]) for k in names])

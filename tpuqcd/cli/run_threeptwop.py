@@ -5,26 +5,59 @@ SURVEY.md §4.1): forward props -> 2pt -> per (t_sink, projector, flavor)
 sequential sources -> backward props -> ultra-local + one-derivative
 insertions -> HDF5.
 
+On an accelerator the whole pipeline is device-resident: packed
+propagators (phys/contract_dev.py), grad-derived sequential sources and
+the contraction/momentum-projection engine of phys/threep_dev.py — only
+the tiny [n_mom, T] correlators cross to the host.
+
     python -m tpuqcd.cli.run_threeptwop --config examples/threep.yaml
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-from .common import log, make_solver, parse_args, setup_gauge, smeared_gauge
+from .common import (accel, log, make_solver, parse_args, setup_gauge,
+                     smeared_gauge)
 
-PROJ_TABLE = None
+
+def _forward_props_host(cfg, lat, solve, srcs):
+    import jax.numpy as jnp
+    props = {}
+    for name, flavor in (("u", +1), ("d", -1)):
+        log.info(" forward props flavor %s", name)
+        cols = [solve(srcs[s, c], flavor=flavor)
+                for s in range(4) for c in range(3)]
+        cols = jnp.stack(cols).reshape(4, 3, *lat.full_shape, 4, 3)
+        props[name] = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
+    return props
+
+
+def _forward_props_dev(cfg, lat, solve, srcs):
+    from ..phys.propagator import assemble_propagator_pk
+    props = {}
+    for name, flavor in (("u", +1), ("d", -1)):
+        log.info(" forward props flavor %s (device)", name)
+        cols = [solve.packed(srcs[s, c], flavor=flavor)
+                for s in range(4) for c in range(3)]
+        props[name] = assemble_propagator_pk(cols)
+    return props
 
 
 def main():
+    import jax
     import jax.numpy as jnp
-    from ..gammas import (GAMMA5, INSERTION_GAMMAS, PARITY_MINUS,
-                          PARITY_PLUS)
+    from ..gammas import (INSERTION_GAMMAS, PARITY_MINUS, PARITY_PLUS)
     from ..io.hdf5io import write_threep, write_twop
-    from ..phys.contract import meson_2pt, proton_2pt
+    from ..phys.contract import proton_2pt
+    from ..phys.contract_dev import proton_2pt_dev
     from ..phys.propagator import point_sources, smear_sources
     from ..phys.threep import (backward_prop, proton_seq_source,
                                threep_one_derivative, threep_ultralocal)
+    from ..phys.threep_dev import (backward_prop_pk, proton_seq_source_pk,
+                                   threep_one_derivative_all_pk,
+                                   threep_ultralocal_pk)
 
     cfg, args = parse_args(__doc__)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
@@ -33,27 +66,31 @@ def main():
     momenta = np.asarray(cfg.physics.momenta)
     projs = {"P+": PARITY_PLUS, "P-": PARITY_MINUS}
 
+    acc = accel()
+    use_dev = (acc.platform != "cpu"
+               or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
+    if use_dev:
+        u_pk_acc = jax.device_put(u_pk, acc)
+
     for src in cfg.physics.source_positions:
-        log.info("source %s", src)
+        log.info("source %s (contractions on %s)", src,
+                 "device" if use_dev else "host")
         srcs = point_sources(lat, tuple(src))
         if cfg.physics.smear_n_gauss > 0:
             srcs = smear_sources(u_sm, srcs, lat,
                                  cfg.physics.smear_alpha_gauss,
                                  cfg.physics.smear_n_gauss)
-        props = {}
-        for name, flavor in (("u", +1), ("d", -1)):
-            log.info(" forward props flavor %s", name)
-            cols = []
-            for s in range(4):
-                for c in range(3):
-                    cols.append(solve(srcs[s, c], flavor=flavor))
-            cols = jnp.stack(cols).reshape(4, 3, *lat.full_shape, 4, 3)
-            props[name] = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
+        props = (_forward_props_dev if use_dev else _forward_props_host)(
+            cfg, lat, solve, srcs)
 
         tag = f"sx{src[3]}sy{src[2]}sz{src[1]}st{src[0]}"
         for pname in cfg.physics.projectors:
-            c2 = proton_2pt(props["u"], props["d"], lat, momenta,
-                            src_pos=tuple(src), proj=projs[pname])
+            if use_dev:
+                c2 = proton_2pt_dev(props["u"], props["d"], lat, momenta,
+                                    src_pos=tuple(src), proj=projs[pname])
+            else:
+                c2 = proton_2pt(props["u"], props["d"], lat, momenta,
+                                src_pos=tuple(src), proj=projs[pname])
             write_twop(cfg.physics.output, f"twop/proton/{pname}/{tag}",
                        np.asarray(c2), momenta, src)
 
@@ -62,28 +99,46 @@ def main():
                 for leg, flip in (("u", -1), ("d", +1)):
                     log.info(" seq source tsink=%d proj=%s leg=%s",
                              t_sink, pname, leg)
-                    seq = proton_seq_source(props["u"], props["d"],
-                                            t_sink, leg, lat,
-                                            proj=projs[pname])
-                    bwd = backward_prop(
-                        seq, lambda b: solve(b, flavor=flip))
-                    c3 = threep_ultralocal(bwd, props[leg],
-                                           INSERTION_GAMMAS, lat, momenta,
-                                           src_pos=tuple(src))
+                    if use_dev:
+                        seq = proton_seq_source_pk(
+                            props["u"], props["d"], t_sink, leg, lat,
+                            proj=projs[pname])
+                        bwd = backward_prop_pk(
+                            seq, lambda b: solve.packed_src(b, flavor=flip))
+                        c3 = threep_ultralocal_pk(
+                            bwd, props[leg], INSERTION_GAMMAS, lat,
+                            momenta, src_pos=tuple(src))
+                    else:
+                        seq = proton_seq_source(props["u"], props["d"],
+                                                t_sink, leg, lat,
+                                                proj=projs[pname])
+                        bwd = backward_prop(
+                            seq, lambda b: solve(b, flavor=flip))
+                        c3 = threep_ultralocal(bwd, props[leg],
+                                               INSERTION_GAMMAS, lat,
+                                               momenta, src_pos=tuple(src))
                     names = list(c3.keys())
                     arr = np.stack([np.asarray(c3[k]) for k in names])
                     write_threep(cfg.physics.output,
                                  f"threep/proton/{pname}/{leg}/{tag}",
                                  arr, momenta, names, src, t_sink)
                     # one-derivative insertions gamma_mu D_nu
-                    dnames, dcorrs = [], []
-                    for mu_ in range(4):
-                        for nu_ in range(4):
-                            c3d = threep_one_derivative(
-                                bwd, props[leg], u_full, mu_, nu_, lat,
-                                momenta, src_pos=tuple(src))
-                            dnames.append(f"der_g{mu_}_D{nu_}")
-                            dcorrs.append(np.asarray(c3d))
+                    if use_dev:
+                        dall = threep_one_derivative_all_pk(
+                            bwd, props[leg], u_pk_acc, lat, momenta,
+                            src_pos=tuple(src))
+                        dnames = [f"der_g{m}_D{n}"
+                                  for m in range(4) for n in range(4)]
+                        dcorrs = [np.asarray(dall[k]) for k in dnames]
+                    else:
+                        dnames, dcorrs = [], []
+                        for mu_ in range(4):
+                            for nu_ in range(4):
+                                c3d = threep_one_derivative(
+                                    bwd, props[leg], u_full, mu_, nu_, lat,
+                                    momenta, src_pos=tuple(src))
+                                dnames.append(f"der_g{mu_}_D{nu_}")
+                                dcorrs.append(np.asarray(c3d))
                     write_threep(cfg.physics.output,
                                  f"threep_der/proton/{pname}/{leg}/{tag}",
                                  np.stack(dcorrs), momenta, dnames, src,

@@ -196,18 +196,53 @@ def _project_host(dens_pk, lat, momenta, src_pos):
             src_pos=(src_pos[3], src_pos[2], src_pos[1]))
 
 
+_DENS_JIT: dict = {}
+
+
+def _on_cpu(*arrs) -> bool:
+    return all(d.platform == "cpu" for a in arrs for d in a.devices())
+
+
+def _dens_jit(kind: str, mat: np.ndarray):
+    """jit cache for the unrolled density engines (keyed on the constant
+    projector / gamma matrix): the axon TPU cannot dispatch the
+    thousands of eager plane ops at speed, and jit also lets XLA fuse
+    the whole Wick evaluation into a few HBM passes.  (On CPU the same
+    jit takes minutes to compile the unrolled graph, so the CPU path
+    stays eager — see proton_2pt_dev.)"""
+    key = (kind, mat.tobytes())
+    if key not in _DENS_JIT:
+        if kind == "proton":
+            _DENS_JIT[key] = jax.jit(
+                lambda su, sd, proj=mat: proton_2pt_site_dev(su, sd, proj))
+        else:
+            _DENS_JIT[key] = jax.jit(
+                lambda s1, s2, g=mat: meson_2pt_site_dev(s1, s2, g))
+    return _DENS_JIT[key]
+
+
 def proton_2pt_dev(su: jax.Array, sd: jax.Array, lat: Lattice,
                    momenta: np.ndarray, src_pos=(0, 0, 0, 0),
                    proj: np.ndarray = PARITY_PLUS) -> jax.Array:
     """[n_mom, T] projected proton two-point function; the contraction
-    streams on the device, only the [T,Z,Y,X] density is fetched for the
-    (cheap) momentum projection (C25)."""
-    dens = proton_2pt_site_dev(su, sd, proj)
-    return _project_host(dens, lat, momenta, src_pos)
+    (jitted Wick engine) AND the momentum projection (C25) stream on the
+    device — only the [n_mom, T] correlator crosses to the host."""
+    from .threep_dev import project_momenta_pk
+    if _on_cpu(su, sd):
+        dens = proton_2pt_site_dev(su, sd, proj)
+    else:
+        dens = _dens_jit("proton", np.asarray(proj))(su, sd)
+    return project_momenta_pk(dens, lat, momenta,
+                              (src_pos[3], src_pos[2], src_pos[1]))
 
 
 def meson_2pt_dev(s1: jax.Array, s2: jax.Array, gamma: np.ndarray,
                   lat: Lattice, momenta: np.ndarray,
                   src_pos=(0, 0, 0, 0)) -> jax.Array:
-    dens = meson_2pt_site_dev(s1, s2, gamma)
-    return _project_host(dens, lat, momenta, src_pos)
+    from .threep_dev import project_momenta_pk
+    if _on_cpu(s1, s2):
+        dens = meson_2pt_site_dev(s1, s2, gamma)
+    else:
+        dens = _dens_jit("meson", np.asarray(gamma))(s1, s2)
+    return project_momenta_pk(dens, lat, momenta,
+                              (src_pos[3], src_pos[2], src_pos[1]))

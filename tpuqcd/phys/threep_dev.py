@@ -1,0 +1,389 @@
+"""Device-resident three-point contractions (packed-real layout).
+
+TPU-native port of the QKXTM 3pt contraction kernels ([U]
+`contract_threep`-style CUDA kernels; SURVEY.md C24/C17/C25): the
+bilinear insertion densities stream on the accelerator over the packed
+propagator planes — the same discipline as phys/contract_dev.py — and
+the momentum projection itself also runs on device as real einsums, so
+only the tiny [n_mom, T] correlators cross to the host.
+
+Key factorization: every ultra-local insertion Gamma shares the same
+open-spin bilinear density
+
+    D[g, h](x) = sum_{c, q, b}  B(x)_{(g c),(q b)}  S(x)_{(h c),(q b)}
+
+(one volume pass computes the [4, 4] complex density for ALL 16 gamma
+structures; each insertion is then a per-site weighted sum of D's spin
+entries).  The one-derivative insertions reuse the same engine on
+(B, D_nu S) and (D_nu^T B, S) pairs, with the symmetric covariant
+derivative applied directly in the packed layout via the shared
+even-odd shift algebra (ops/shifts.py).
+
+Packed propagator layout (phys/contract_dev.py):
+    ``[2(ri), 2(par), 4(snk s), 3(snk c), 4(src s), 3(src c), T, Z, S]``
+Host oracles: phys/threep.py (validated against the dense all-to-all
+propagator on tiny lattices).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lattice import Lattice
+from ..ops.shifts import neighbor
+from .contract import momentum_phases
+
+_PREC = jax.lax.Precision.HIGHEST
+
+# NOTE on jit: the axon TPU backend cannot run dot_general *eagerly*
+# (UNIMPLEMENTED at dispatch); every contraction below is therefore
+# reached only through the module-level jitted kernels, which also lets
+# XLA fuse the bilinear -> gamma-weight -> momentum-project chain into
+# one HBM pass.
+
+
+# --- packed momentum projection ---------------------------------------------
+
+def momentum_phases_pk(lat: Lattice, momenta: np.ndarray,
+                       src_pos=(0, 0, 0)) -> np.ndarray:
+    """e^{-i p.(x - x0)} packed to the parity-split device layout:
+    float32 ``[2(ri), n, 2(par), T, Z, S]``, S = Y * X//2.
+
+    The packing is t-dependent only through the checkerboard sub-parity
+    s(t, z, y) (fields._sub_parity_mask), replicated here in numpy.
+    """
+    ph = momentum_phases(lat, momenta, src_pos)          # [n, Z, Y, X]
+    ph = ph.astype(np.complex64)
+    s = (np.asarray(lat.eo_sub_parity) == 1)             # [T, Z, Y]
+    ph0 = ph[:, None, :, :, 0::2]                        # [n,1,Z,Y,Xh]
+    ph1 = ph[:, None, :, :, 1::2]
+    sm = s[None, :, :, :, None]                          # [1,T,Z,Y,1]
+    even = np.where(sm, ph1, ph0)                        # [n,T,Z,Y,Xh]
+    odd = np.where(sm, ph0, ph1)
+    pk = np.stack([even, odd], axis=1)                   # [n,2,T,Z,Y,Xh]
+    n = pk.shape[0]
+    pk = pk.reshape(n, 2, lat.Lt, lat.Lz, lat.Ly * lat.Lx // 2)
+    return np.stack([pk.real, pk.imag]).astype(np.float32)
+
+
+def _project_planes(dens_pk: jax.Array, ph: jax.Array) -> jax.Array:
+    """[2ri, 2par, T, Z, S] x phases [2ri, n, 2par, T, Z, S] ->
+    [2ri, n, T] (traced helper)."""
+    sub = "nptzs,ptzs->nt"
+    re = (jnp.einsum(sub, ph[0], dens_pk[0], precision=_PREC)
+          - jnp.einsum(sub, ph[1], dens_pk[1], precision=_PREC))
+    im = (jnp.einsum(sub, ph[0], dens_pk[1], precision=_PREC)
+          + jnp.einsum(sub, ph[1], dens_pk[0], precision=_PREC))
+    return jnp.stack([re, im])
+
+
+_project_jit = jax.jit(_project_planes)
+
+
+def _fetch_complex(planes: jax.Array) -> np.ndarray:
+    """[2ri, ...] real on device -> complex HOST numpy array (small
+    complex arrays can neither materialize on nor cross D2H from the
+    axon TPU backend, utils/cplx.py — so never re-wrap in jnp here)."""
+    out = np.asarray(jax.device_get(planes))
+    return out[0] + 1j * out[1]
+
+
+def project_momenta_pk(dens_pk: jax.Array, lat: Lattice,
+                       momenta: np.ndarray, src_pos=(0, 0, 0)) -> jax.Array:
+    """Packed density [2ri, 2par, T, Z, S] -> complex [n_mom, T]; the
+    projection runs on device (C25; the density never leaves HBM)."""
+    ph = jnp.asarray(momentum_phases_pk(lat, momenta, src_pos),
+                     dtype=dens_pk.dtype)
+    return _fetch_complex(_project_jit(dens_pk, ph))
+
+
+# --- open-spin bilinear density ---------------------------------------------
+
+def bilinear_density_pk(bwd_pk: jax.Array, fwd_pk: jax.Array) -> jax.Array:
+    """D[g,h](x) = sum_{c,q,b} B_{(g c),(q b)} S_{(h c),(q b)}:
+    packed [2ri, 2par, 4(g), 4(h), T, Z, S].  Real dot_generals only
+    (the axon TPU backend has no complex contractions, utils/cplx.py)."""
+    br, bi = bwd_pk[0], bwd_pk[1]        # [2par,4,3,4,3,T,Z,S]
+    sr, si = fwd_pk[0], fwd_pk[1]
+    sub = "pgcqbtzs,phcqbtzs->pghtzs"
+    re = (jnp.einsum(sub, br, sr, precision=_PREC)
+          - jnp.einsum(sub, bi, si, precision=_PREC))
+    im = (jnp.einsum(sub, br, si, precision=_PREC)
+          + jnp.einsum(sub, bi, sr, precision=_PREC))
+    return jnp.stack([re, im])
+
+
+def _gamma_weighted(D: jax.Array, g: np.ndarray) -> jax.Array:
+    """dens = sum_{g,h} Gamma[g,h] D[g,h]: [2ri, 2par, T, Z, S]
+    (traced helper — call under jit on TPU)."""
+    gr = jnp.asarray(np.real(g), dtype=D.dtype)
+    gi = jnp.asarray(np.imag(g), dtype=D.dtype)
+    sub = "gh,pghtzs->ptzs"
+    re = (jnp.einsum(sub, gr, D[0], precision=_PREC)
+          - jnp.einsum(sub, gi, D[1], precision=_PREC))
+    im = (jnp.einsum(sub, gr, D[1], precision=_PREC)
+          + jnp.einsum(sub, gi, D[0], precision=_PREC))
+    return jnp.stack([re, im])
+
+
+def _weighted_project_all(D: jax.Array, gr: jax.Array, gi: jax.Array,
+                          ph: jax.Array) -> jax.Array:
+    """All-gammas weight + project: D [2ri, 2par, 4, 4, T, Z, S],
+    gr/gi [G, 4, 4], phases [2ri, n, 2par, T, Z, S] -> [G, 2ri, n, T]."""
+    sub = "agh,pghtzs->aptzs"
+    wre = (jnp.einsum(sub, gr, D[0], precision=_PREC)
+           - jnp.einsum(sub, gi, D[1], precision=_PREC))
+    wim = (jnp.einsum(sub, gr, D[1], precision=_PREC)
+           + jnp.einsum(sub, gi, D[0], precision=_PREC))
+    sub2 = "nptzs,aptzs->ant"
+    re = (jnp.einsum(sub2, ph[0], wre, precision=_PREC)
+          - jnp.einsum(sub2, ph[1], wim, precision=_PREC))
+    im = (jnp.einsum(sub2, ph[0], wim, precision=_PREC)
+          + jnp.einsum(sub2, ph[1], wre, precision=_PREC))
+    return jnp.stack([re, im], axis=1)
+
+
+@jax.jit
+def _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph):
+    return _weighted_project_all(bilinear_density_pk(bwd_pk, fwd_pk),
+                                 gr, gi, ph)
+
+
+def _gamma_stack(gammas: dict, dtype=np.float32):
+    mats = np.stack([np.asarray(g, dtype=np.complex64)
+                     for g in gammas.values()])
+    return (jnp.asarray(mats.real.astype(dtype)),
+            jnp.asarray(mats.imag.astype(dtype)))
+
+
+def threep_ultralocal_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
+                         gammas: dict, lat: Lattice, momenta: np.ndarray,
+                         src_pos=(0, 0, 0, 0)) -> dict:
+    """C3 for a dict of ultra-local gamma insertions, fully on device in
+    ONE fused jit (bilinear density -> all gamma weights -> momentum
+    projection; a single HBM pass over the propagator pair).
+
+    bwd_pk/fwd_pk: packed device propagators.  Returns {name: [n_mom, T]}
+    complex arrays (tiny; safe to np.asarray).  Matches
+    phys/threep.threep_ultralocal on the same inputs.
+    """
+    gr, gi = _gamma_stack(gammas)
+    sp = (src_pos[3], src_pos[2], src_pos[1])
+    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
+                     dtype=bwd_pk.dtype)
+    out = _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph)
+    return {name: _fetch_complex(out[i])
+            for i, name in enumerate(gammas)}
+
+
+# --- covariant derivative in packed layout ----------------------------------
+
+def _su3_mul_planes(ur: jax.Array, ui: jax.Array, fr: jax.Array,
+                    fi: jax.Array, dagger: bool):
+    """out[i] = sum_j U[i,j] f[j] (or U^dag) on plane stacks.
+
+    ur/ui: [3, 3, T, Z, S]; fr/fi: [4(s), 3(j), 4, 3, T, Z, S] with the
+    color axis at position 1.  Unrolled 3x3 — elementwise only."""
+    out_r, out_i = [], []
+    for i in range(3):
+        accr = acci = None
+        for j in range(3):
+            if dagger:
+                lr, li = ur[j, i], -ui[j, i]
+            else:
+                lr, li = ur[i, j], ui[i, j]
+            tr = lr * fr[:, j] - li * fi[:, j]
+            ti = lr * fi[:, j] + li * fr[:, j]
+            accr = tr if accr is None else accr + tr
+            acci = ti if acci is None else acci + ti
+        out_r.append(accr)
+        out_i.append(acci)
+    return jnp.stack(out_r, axis=1), jnp.stack(out_i, axis=1)
+
+
+def cov_shift_pk(u_pk: jax.Array, f_pk: jax.Array, nu: int, sign: int,
+                 lat: Lattice, conj_links: bool = False) -> jax.Array:
+    """U_nu(x) f(x+nu) (sign=+1) or U_nu(x-nu)^dag f(x-nu) (sign=-1) on a
+    packed propagator, acting on the SINK color index (C17 equivalent of
+    threep.cov_shift, parity-split).
+
+    u_pk: PACKED gauge [4, 2(par), 3, 3, 2(ri), T, Z, S]
+    (utils/packed.pack_gauge — complex arrays cannot be rolled/gathered
+    on the axon TPU backend, so the link shifts run on real planes);
+    f_pk: [2ri, 2par, 4, 3, 4, 3, T, Z, S].
+    """
+    ur_all = u_pk[nu, :, :, :, 0]                   # [2par, 3, 3, T, Z, S]
+    ui_all = u_pk[nu, :, :, :, 1]
+    if conj_links:
+        ui_all = -ui_all
+    outs = []
+    for p in (0, 1):
+        # f at the neighbor site (parity 1-p), gathered onto the p grid
+        fnb = neighbor(f_pk[:, 1 - p], nu, sign, 1 - p, lat)
+        fr, fi = fnb[0], fnb[1]                     # [4,3,4,3,T,Z,S]
+        if sign == +1:
+            ur, ui = ur_all[p], ui_all[p]           # U_nu(x), x parity p
+            rr, ii = _su3_mul_planes(ur, ui, fr, fi, dagger=False)
+        else:
+            # U_nu(x-nu) lives on parity 1-p; gather it onto the p grid
+            wr = neighbor(ur_all[1 - p], nu, -1, 1 - p, lat)
+            wi = neighbor(ui_all[1 - p], nu, -1, 1 - p, lat)
+            rr, ii = _su3_mul_planes(wr, wi, fr, fi, dagger=True)
+        outs.append(jnp.stack([rr, ii]))            # [2ri,4,3,4,3,T,Z,S]
+    return jnp.stack(outs, axis=1)                  # [2ri,2par,...]
+
+
+def cov_deriv_sym_pk(u_pk: jax.Array, f_pk: jax.Array, nu: int,
+                     lat: Lattice, conj_links: bool = False) -> jax.Array:
+    """Symmetric covariant derivative on the sink index, packed layout:
+    (D_nu f)(x) = [U_nu(x) f(x+nu) - U_nu(x-nu)^dag f(x-nu)] / 2."""
+    fw = cov_shift_pk(u_pk, f_pk, nu, +1, lat, conj_links)
+    bw = cov_shift_pk(u_pk, f_pk, nu, -1, lat, conj_links)
+    return 0.5 * (fw - bw)
+
+
+def proton_seq_source_pk(su_pk: jax.Array, sd_pk: jax.Array, t_sink: int,
+                         flavor_leg: str, lat: Lattice,
+                         proj: np.ndarray | None = None,
+                         snk_mom: np.ndarray | None = None) -> jax.Array:
+    """Fixed-sink sequential source, fully on device (C24).
+
+    A_f(x) = dC2(t_sink)/dS_f(x), computed as the gradient of the
+    *packed-real* device Wick engine (phys/contract_dev.py): for the
+    holomorphic C2(S), dC2/dS = dReC2/dS_re - i dReC2/dS_im, so one real
+    jax.grad over the packed planes yields the complex gradient with no
+    complex arithmetic on the accelerator.  Matches
+    phys/threep.proton_seq_source via prop_to_device.
+
+    Returns the packed seq-source propagator
+    [2ri, 2par, 4, 3, 4, 3, T, Z, S] supported on t_sink.
+    """
+    from ..gammas import PARITY_PLUS
+    if proj is None:
+        proj = PARITY_PLUS
+    mom = np.zeros((1, 3)) if snk_mom is None else np.asarray([snk_mom])
+    from .contract_dev import _on_cpu
+    fn = _seq_source_jit(lat, int(t_sink), flavor_leg, np.asarray(proj),
+                         mom, eager=_on_cpu(su_pk, sd_pk))
+    return fn(su_pk, sd_pk)
+
+
+_SEQ_JIT: dict = {}
+
+
+def _seq_source_jit(lat, t_sink, flavor_leg, proj, mom, eager=False):
+    """jit cache for the grad-of-Wick-engine sequential source (one
+    compile per (geometry, t_sink, leg, projector, sink momentum)).
+    ``eager=True`` skips the jit — on CPU the unrolled-graph compile
+    takes minutes while the eager evaluation is fast."""
+    key = (lat.dims, t_sink, flavor_leg, proj.tobytes(), mom.tobytes(),
+           eager)
+    if key in _SEQ_JIT:
+        return _SEQ_JIT[key]
+    from .contract_dev import proton_2pt_site_dev
+    ph = momentum_phases_pk(lat, mom)[:, 0]
+    phr = jnp.asarray(ph[0][:, t_sink])               # [2par, Z, S]
+    phi = jnp.asarray(ph[1][:, t_sink])
+
+    def fn(su_pk, sd_pk):
+        def c2_re(s_var):
+            if flavor_leg == "u":
+                dens = proton_2pt_site_dev(s_var, sd_pk, proj)
+            else:
+                dens = proton_2pt_site_dev(su_pk, s_var, proj)
+            dr, di = dens[0][:, t_sink], dens[1][:, t_sink]
+            return jnp.sum(phr * dr - phi * di)
+
+        s_in = su_pk if flavor_leg == "u" else sd_pk
+        gr = jax.grad(c2_re)(s_in)
+        return jnp.stack([gr[0], -gr[1]])
+
+    _SEQ_JIT[key] = fn if eager else jax.jit(fn)
+    return _SEQ_JIT[key]
+
+
+def backward_prop_pk(seq_pk: jax.Array, solve_fn_flip_pk,
+                     g5_diag: np.ndarray | None = None) -> jax.Array:
+    """B from A on packed fields: 12 flavor-flipped solves on g5 conj(A)
+    columns, B = conj(g5 x) (threep.backward_prop, device layout).
+
+    seq_pk: packed seq source [2ri, 2par, 4, 3, 4(beta), 3(b), T, Z, S];
+    solve_fn_flip_pk(b_pk [2par, 2ri, 4, 3, T, Z, S]) -> x_pk same
+    layout = M_{f'}^{-1} b.  Returns the packed backward propagator.
+    """
+    from ..gammas import GAMMA5
+    g5 = np.real(np.diag(GAMMA5)) if g5_diag is None else g5_diag
+    g5 = jnp.asarray(g5, dtype=seq_pk.dtype)[:, None, None, None, None]
+    cols = []
+    for beta in range(4):
+        for b in range(3):
+            a = seq_pk[:, :, :, :, beta, b]            # [2ri,2par,4,3,T,Z,S]
+            # g5 conj(A): conj = negate the im plane, then spin signs
+            src = jnp.stack([a[0] * g5, -a[1] * g5])   # [2ri,2par,...]
+            src = jnp.swapaxes(src, 0, 1)              # solver layout
+            x = solve_fn_flip_pk(src)                  # [2par,2ri,4,3,T,Z,S]
+            x = jnp.swapaxes(x, 0, 1)
+            # conj(g5 x)
+            cols.append(jnp.stack([x[0] * g5, -x[1] * g5]))
+    cols = jnp.stack(cols)                             # [12,2ri,2par,4,3,T,Z,S]
+    cols = cols.reshape(4, 3, *cols.shape[1:])
+    # -> [2ri, 2par, 4(snk s), 3, 4(beta), 3(b), T, Z, S]
+    return jnp.transpose(cols, (2, 3, 4, 5, 0, 1, 6, 7, 8))
+
+
+@partial(jax.jit, static_argnames=("nu", "lat"))
+def _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph, *, nu, lat):
+    ds = cov_deriv_sym_pk(u_pk, fwd_pk, nu, lat)
+    db = cov_deriv_sym_pk(u_pk, bwd_pk, nu, lat, conj_links=True)
+    d1 = bilinear_density_pk(bwd_pk, ds)
+    d2 = bilinear_density_pk(db, fwd_pk)
+    # [G=4, 2ri, n, T] for all four gamma_mu at once (d1/d2 dominate)
+    return 0.5 * (_weighted_project_all(d1, gr, gi, ph)
+                  - _weighted_project_all(d2, gr, gi, ph))
+
+
+def threep_one_derivative_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
+                             u_pk: jax.Array, mu: int, nu: int,
+                             lat: Lattice, momenta: np.ndarray,
+                             src_pos=(0, 0, 0, 0)) -> jax.Array:
+    """One-derivative insertion gamma_mu D<->_nu, fully on device:
+    (1/2)[ B gamma_mu (D_nu S) - (D_nu^T B) gamma_mu S ].  Matches
+    phys/threep.threep_one_derivative.  Returns complex [n_mom, T].
+
+    One jitted kernel per nu computes ALL FOUR gamma_mu projections
+    (the covariant derivatives and bilinears are the expensive part and
+    are shared); mu only selects the returned row, so a 4x4 (mu, nu)
+    sweep costs 4 kernel invocations, not 16.
+    """
+    from ..gammas import GAMMA
+    gr, gi = _gamma_stack({m: GAMMA[m] for m in range(4)})
+    sp = (src_pos[3], src_pos[2], src_pos[1])
+    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
+                     dtype=fwd_pk.dtype)
+    out = _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph,
+                           nu=int(nu), lat=lat)
+    return _fetch_complex(out[int(mu)])
+
+
+def threep_one_derivative_all_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
+                                 u_pk: jax.Array, lat: Lattice,
+                                 momenta: np.ndarray,
+                                 src_pos=(0, 0, 0, 0)) -> dict:
+    """The full 4x4 (gamma_mu, D_nu) sweep: {"der_g{mu}_D{nu}":
+    complex [n_mom, T]} in 4 kernel launches (one per derivative
+    direction) — the production path of run_threeptwop."""
+    from ..gammas import GAMMA
+    gr, gi = _gamma_stack({m: GAMMA[m] for m in range(4)})
+    sp = (src_pos[3], src_pos[2], src_pos[1])
+    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
+                     dtype=fwd_pk.dtype)
+    out = {}
+    for nu in range(4):
+        all_mu = _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph,
+                                  nu=nu, lat=lat)
+        for mu in range(4):
+            out[f"der_g{mu}_D{nu}"] = _fetch_complex(all_mu[mu])
+    return out
