@@ -196,6 +196,46 @@ def make_solver(cfg, lat, u_pk, u_full):
             solve_pk_src(b_pk, flavor).x.astype(jnp.float32)
         return solve
 
+    if cfg.solver.solver == "eigcg":
+        # incremental eigCG: one stateful solver per flavor; the
+        # deflation space grows across the 12-column propagator solves
+        from ..solve import EigCGSolver
+        u_acc = jax.device_put(u_pk, accel())
+        solvers = {}
+
+        def _eigcg_solver(flavor):
+            if flavor not in solvers:
+                solvers[flavor] = EigCGSolver(
+                    u_acc, lat, kappa=cfg.action.kappa, mu=cfg.action.mu,
+                    flavor=flavor, backend=cfg.solver.backend)
+            return solvers[flavor]
+
+        def solve_pk_src(b_pk, flavor=+1):
+            b_pk = jax.device_put(b_pk, accel())
+            res = _eigcg_solver(int(flavor)).solve(
+                b_pk, tol=cfg.solver.tol, inner_tol=cfg.solver.inner_tol,
+                maxiter=cfg.solver.maxiter)
+            log.info("  eigcg solve: relres=%.2e iters=%d (space k=%d)",
+                     float(res.relres), int(res.iters),
+                     _eigcg_solver(int(flavor)).space.k)
+            return res.x.astype(jnp.float32)
+
+        def solve_pk(b_full, flavor=+1):
+            cpu_ = jax.devices("cpu")[0]
+            with jax.default_device(cpu_):
+                b_pk = full_to_packed(b_full, lat)
+            return solve_pk_src(b_pk, flavor)
+
+        def solve(b_full, flavor=+1):
+            x_pk = solve_pk(b_full, flavor)
+            cpu_ = jax.devices("cpu")[0]
+            with jax.default_device(cpu_):
+                return packed_to_full(jax.device_put(x_pk, cpu_), lat)
+
+        solve.packed = solve_pk
+        solve.packed_src = solve_pk_src
+        return solve
+
     from functools import partial
 
     @partial(jax.jit, static_argnums=(2,))

@@ -103,6 +103,77 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     return SolveResult(x=x, relres=relres, iters=iters)
 
 
+class EigCGSolver:
+    """Stateful incremental-eigCG solver for right-hand-side SEQUENCES
+    (the 12-column propagator workload; reference
+    `QUDA_INC_EIGCG_INVERTER` [U], SURVEY.md C11): each solve runs
+    deflated CG on the even-odd normal operator, harvests low eigenpairs
+    of M^dag M (solvers/eigcg.py), and grows a deflation space that cuts
+    the iteration count of every subsequent column.  The f64 defect
+    correction around the f32 inner solves certifies the true residual
+    (same discipline as solve_tm).
+
+    One instance per (gauge, flavor) — the deflation space belongs to
+    that operator.
+    """
+
+    def __init__(self, u_pk: jax.Array, lat: Lattice, *, kappa: float,
+                 mu: float, flavor: int = +1, nev: int = 8, m: int = 24,
+                 max_space: int = 96, backend: str = "pallas",
+                 interpret: bool = False):
+        from .solvers.eigcg import EigCGSpace
+        self.lat = lat
+        self.nev, self.m, self.max_space = nev, m, max_space
+        self.pc32 = PackedTMOperatorPC(lat, kappa=kappa, mu=mu,
+                                       flavor=flavor, backend=backend,
+                                       interpret=interpret)
+        self.pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu,
+                                        flavor=flavor, backend="xla")
+        self.u32 = u_pk.astype(jnp.float32)
+        self.u_hp = u_pk.astype(jnp.float64)
+        self._normal = jax.jit(self.pc32.normal)
+        self._mdag = jax.jit(self.pc32.apply_dagger)
+        self._prep = jax.jit(self.pc_hp.prepare)
+        self._recon = jax.jit(self.pc_hp.reconstruct)
+
+        @jax.jit
+        def _resid(u_hp, x, bhat):
+            r = bhat - self.pc_hp.apply(u_hp, x)
+            return r, norm2(r)
+
+        self._resid = _resid
+        self.space = EigCGSpace.empty()
+
+    def _apply_a(self, v):
+        return self._normal(self.u32, v)
+
+    def solve(self, b_pk: jax.Array, *, tol: float = 1e-10,
+              inner_tol: float = 1e-5, maxiter: int = 2000,
+              max_refine: int = 10) -> SolveResult:
+        from .solvers.eigcg import eigcg
+        b_hp = b_pk.astype(jnp.float64)
+        bhat = self._prep(self.u_hp, b_hp)
+        bsq = float(norm2(bhat))
+        x = jnp.zeros_like(bhat)
+        total = 0
+        rel = 1.0
+        for _ in range(max_refine):
+            r, rsq = self._resid(self.u_hp, x, bhat)
+            rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
+            if rel <= tol:
+                break
+            rhs32 = self._mdag(self.u32, r.astype(jnp.float32))
+            res = eigcg(self._apply_a, rhs32, nev=self.nev, m=self.m,
+                        tol=inner_tol, maxiter=maxiter, space=self.space)
+            self.space.absorb(self._apply_a, res.ritz,
+                              max_k=self.max_space)
+            total += res.iters
+            x = x + res.x.astype(jnp.float64)
+        x_full = self._recon(self.u_hp, x, b_hp)
+        return SolveResult(x=x_full, relres=jnp.asarray(rel),
+                           iters=jnp.asarray(total))
+
+
 def setup_multigrid(u_pk: jax.Array, lat: Lattice, *, kappa: float,
                     mu: float, flavor: int = +1, csw: float = 0.0,
                     clover_pk: jax.Array | None = None, params=None,
