@@ -1,0 +1,172 @@
+"""Interior/exterior-split sharded Dslash: comm/compute overlap (C7).
+
+TPU-native equivalent of the reference's dslash communication policy
+engine (`dslash_policy.cuh` interior/exterior kernels + async MPI [U];
+SURVEY.md C7): the full-local Dslash kernel runs with LOCAL-periodic
+wraps — independent of any halo data, so XLA is free to schedule the
+`lax.ppermute`s concurrently with it — and the wrapped boundary slices
+are then repaired with thin slab corrections once the halos arrive:
+
+    fwd leg, last slice:   += P^- U_mu[q][last] (psi_hi - psi[first])
+    bwd leg, first slice:  += P^+ (U_lo^dag psi_lo
+                                   - U[p][last]^dag psi[last])
+
+(t and z directions only — the mesh shards (T, Z); x/y stay on-chip.)
+The corrections are exact by linearity of the hop term, cost O(surface)
+elementwise work, and depend only on the exchanged slabs — the data-flow
+graph the scheduler needs for overlap, without hand-written async DMA.
+
+Epilogues are applied as separate elementwise passes in this mode (the
+fused-epilogue kernel would bake the un-corrected hops into the site
+terms); one extra HBM pass is the price of the split, recovered on
+multi-chip meshes where the halo latency dominates.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..gammas import PROJ_MINUS, PROJ_PLUS
+from ..lattice import Lattice
+
+
+def _nz(mat, tol=1e-12):
+    m = np.asarray(mat)
+    return [(a, b, complex(m[a, b])) for a in range(4) for b in range(4)
+            if abs(m[a, b]) > tol]
+
+
+def _proj_apply(p_nz, f):
+    """Spin projector on a packed slab f [2ri, 4, 3, ...]."""
+    fr, fi = f[0], f[1]
+    out_r = [None] * 4
+    out_i = [None] * 4
+    for (a, b, c) in p_nz:
+        tr = c.real * fr[b] - c.imag * fi[b]
+        ti = c.real * fi[b] + c.imag * fr[b]
+        out_r[a] = tr if out_r[a] is None else out_r[a] + tr
+        out_i[a] = ti if out_i[a] is None else out_i[a] + ti
+    zero = jnp.zeros_like(fr[0])
+    out_r = [zero if v is None else v for v in out_r]
+    out_i = [zero if v is None else v for v in out_i]
+    return jnp.stack([jnp.stack(out_r), jnp.stack(out_i)])
+
+
+def _su3_slab(u_slab, f, dagger):
+    """Color matvec on packed slabs.
+
+    u_slab [3, 3, 2ri, *site]; f [2ri, 4, 3, *site];
+    out_i = sum_j U_ij f_j (or U^dag)."""
+    out_r, out_i = [], []
+    for i in range(3):
+        ar = ai = None
+        for j in range(3):
+            if dagger:
+                lr, li = u_slab[j, i, 0], -u_slab[j, i, 1]
+            else:
+                lr, li = u_slab[i, j, 0], u_slab[i, j, 1]
+            tr = lr * f[0, :, j] - li * f[1, :, j]
+            ti = lr * f[1, :, j] + li * f[0, :, j]
+            ar = tr if ar is None else ar + tr
+            ai = ti if ai is None else ai + ti
+        out_r.append(ar)
+        out_i.append(ai)
+    return jnp.stack([jnp.stack(out_r, axis=1), jnp.stack(out_i, axis=1)])
+
+
+def _leg(p_nz, u_slab, f, dagger_u):
+    return _proj_apply(p_nz, _su3_slab(u_slab, f, dagger_u))
+
+
+def _pperm(x, axis_name, shift):
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
+                   dagger: bool, block_z: int | None = None,
+                   interpret: bool = False,
+                   backend: str = "pallas") -> jax.Array:
+    """Sharded hopping term D_{q<-p} with interior/exterior split.
+
+    u_ext: per-shard packed gauge WITH the t/z halo slabs appended
+    (parallel/sharded._exchange_gauge — the gauge halos feed the
+    backward-leg corrections); psi_loc [2ri, 4, 3, Tl, Zl, S] at
+    ``parity``.  Runs inside shard_map over lmesh.mesh.
+
+    backend "pallas" runs the interior through the fused kernel;
+    "xla" uses the packed XLA stencil on a local-geometry Lattice (the
+    CPU-testable path — the boundary-repair math is backend-agnostic,
+    and a LOCAL lattice's periodic wrap is exactly the interior
+    approximation being repaired; the eo masks match the global ones
+    because shard offsets are even).
+    """
+    p, q = parity, 1 - parity
+    tn, zn = lmesh.nt, lmesh.nz
+    Tl, Zl = lmesh.local_dims
+
+    # 1. halo sends first: nothing below depends on them until the
+    # corrections, so the collective-permute can ride ICI while the
+    # interior kernel occupies the core
+    if tn > 1:
+        psi_t_lo = _pperm(psi_loc[:, :, :, -1:], "t", +1)   # psi(t=-1)
+        psi_t_hi = _pperm(psi_loc[:, :, :, :1], "t", -1)    # psi(t=Tl)
+    if zn > 1:
+        psi_z_lo = _pperm(psi_loc[:, :, :, :, -1:], "z", +1)
+        psi_z_hi = _pperm(psi_loc[:, :, :, :, :1], "z", -1)
+
+    # 2. interior: full local volume with LOCAL-periodic wraps (the
+    # boundary slices are wrong and repaired below; recompute cost is
+    # 2/Tl + 2/Zl of the volume, the classic interior/exterior tradeoff
+    # flipped into pure data-parallel form)
+    u_loc = u_ext[..., :Tl, :Zl, :]
+    if backend == "pallas":
+        from ..ops.dslash_pallas import dslash_eo_pallas
+        out = dslash_eo_pallas(u_loc, psi_loc, p, lat, dagger=dagger,
+                               block_z=block_z, interpret=interpret,
+                               local_dims=(Tl, Zl))
+    else:
+        from ..ops.dslash_xla import dslash_eo_dev_ri
+        lat_loc = Lattice((lat.Lx, lat.Ly, Zl, Tl))
+        out = dslash_eo_dev_ri(u_loc, psi_loc, p, lat_loc, dagger=dagger)
+
+    # 3. t-direction repairs (mu = 3); tn == 1 means the local wrap IS
+    # the correct global wrap
+    if tn > 1:
+        fwd3 = _nz((PROJ_PLUS if dagger else PROJ_MINUS)[3])
+        bwd3 = _nz((PROJ_MINUS if dagger else PROJ_PLUS)[3])
+        # forward leg at result t = Tl-1: local wrap used psi[0]
+        u_q_last = u_loc[3, q, :, :, :, -1:, :, :]
+        d_hi = psi_t_hi - psi_loc[:, :, :, :1]
+        corr_last = _leg(fwd3, u_q_last, d_hi, dagger_u=False)
+        # backward leg at result t = 0: local wrap used local link+psi
+        u_p_hal = u_ext[3, p, :, :, :, Tl:Tl + 1, :Zl, :]   # U_t(t=-1)
+        u_p_last = u_loc[3, p, :, :, :, -1:, :, :]
+        corr_first = (_leg(bwd3, u_p_hal, psi_t_lo, dagger_u=True)
+                      - _leg(bwd3, u_p_last, psi_loc[:, :, :, -1:],
+                             dagger_u=True))
+        out = jnp.concatenate(
+            [out[:, :, :, :1] + corr_first,
+             out[:, :, :, 1:-1],
+             out[:, :, :, -1:] + corr_last], axis=3)
+
+    # 4. z-direction repairs (mu = 2)
+    if zn > 1:
+        fwd2 = _nz((PROJ_PLUS if dagger else PROJ_MINUS)[2])
+        bwd2 = _nz((PROJ_MINUS if dagger else PROJ_PLUS)[2])
+        u_q_last = u_loc[2, q, :, :, :, :, -1:, :]
+        d_hi = psi_z_hi - psi_loc[:, :, :, :, :1]
+        corr_last = _leg(fwd2, u_q_last, d_hi, dagger_u=False)
+        u_p_hal = u_ext[2, p, :, :, :, :Tl, -1:, :]         # U_z(z=-1)
+        u_p_last = u_loc[2, p, :, :, :, :, -1:, :]
+        corr_first = (_leg(bwd2, u_p_hal, psi_z_lo, dagger_u=True)
+                      - _leg(bwd2, u_p_last, psi_loc[:, :, :, :, -1:],
+                             dagger_u=True))
+        out = jnp.concatenate(
+            [out[:, :, :, :, :1] + corr_first,
+             out[:, :, :, :, 1:-1],
+             out[:, :, :, :, -1:] + corr_last], axis=4)
+
+    return out

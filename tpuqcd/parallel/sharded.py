@@ -91,6 +91,12 @@ class ShardedTMOperatorPC:
     backend: str = "pallas"
     block_z: int | None = None
     interpret: bool = False
+    #: interior/exterior split (parallel/overlap.py): the kernel runs
+    #: halo-free on the local volume while the ppermutes fly; boundary
+    #: slices are repaired with slab corrections (the reference's
+    #: dslash_policy overlap engine, C7).  Epilogues become separate
+    #: elementwise passes in this mode.
+    overlap: bool = False
 
     def _local_lat_dims(self):
         return self.lmesh.local_dims
@@ -106,11 +112,27 @@ class ShardedTMOperatorPC:
 
     def _dslash_local(self, u_ext, psi_loc, parity, dagger, epilogue,
                       flavor, psi0_loc=None):
-        """One halo exchange + one fused kernel call on a shard."""
+        """One halo exchange + one fused kernel call on a shard (or the
+        interior/exterior split when overlap=True)."""
         from ..ops.dslash_pallas import dslash_eo_pallas
         tn, zn = self.lmesh.nt, self.lmesh.nz
         Tl, Zl = self.lmesh.local_dims
         Zb = self._zb()
+        if self.overlap:
+            from ..operators import twist_apply_pk, twist_inv_apply_pk
+            from .overlap import dslash_overlap
+            d = dslash_overlap(u_ext, psi_loc, parity, self.lat,
+                               self.lmesh, dagger, block_z=Zb,
+                               interpret=self.interpret,
+                               backend=self.backend)
+            k = jnp.asarray(self.kappa, d.dtype)
+            if epilogue == "twist_inv":
+                return twist_inv_apply_pk(d, self.kappa, self.mu, flavor)
+            if epilogue == "xpay":
+                return twist_apply_pk(psi0_loc, self.kappa, self.mu,
+                                      flavor) - (k * k) * d
+            assert epilogue == "none", epilogue
+            return d
         psi_ext = _exchange_t(psi_loc, tn)
         psi_ext = _exchange_z(psi_ext, zn, Zb)
         return dslash_eo_pallas(
