@@ -18,7 +18,7 @@ gauge:
   dims: [2, 2, 2, 4]
   random_seed: 3
 action: {{kappa: 0.11, mu: 0.07}}
-solver: {{tol: 1.0e-9, backend: xla}}
+solver: {{tol: 1.0e-8, backend: xla}}
 physics:
 {physics}
   output: {out}
@@ -42,7 +42,7 @@ def _run(monkeypatch, tmp_path, module_main, physics, name, dev=False):
 TWOP_PHYS = """  source_positions: [[0, 0, 0, 0]]
   momenta: [[0, 0, 0], [1, 0, 0]]
   smear_n_ape: 0
-  smear_n_gauss: 2
+  smear_n_gauss: 1
   smear_alpha_gauss: 1.0
   projectors: [P+]"""
 

@@ -169,6 +169,9 @@ class EigCGSolver:
                               max_k=self.max_space)
             total += res.iters
             x = x + res.x.astype(jnp.float64)
+        else:  # max_refine exhausted: certify the final iterate
+            _, rsq = self._resid(self.u_hp, x, bhat)
+            rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
         x_full = self._recon(self.u_hp, x, b_hp)
         return SolveResult(x=x_full, relres=jnp.asarray(rel),
                            iters=jnp.asarray(total))
