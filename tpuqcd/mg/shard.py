@@ -21,13 +21,154 @@ Pallas kernel is single-chip until the shard_map port).
 """
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..lattice import Lattice
 from .device import (DeviceCoarseLevel, DeviceCoarseTransfer,
                      DeviceFineCloverLevel, DeviceFineLevel,
                      DeviceFineTransfer)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["u_ext"],
+         meta_fields=["lat", "lmesh", "kappa", "mu", "flavor", "backend",
+                      "block_z", "interpret"])
+@dataclasses.dataclass
+class ShardedFineLevel:
+    """DeviceFineLevel twin whose applies run PER-SHARD kernels under
+    shard_map (the production multi-chip fine level): the hop term goes
+    through the interior/exterior overlap engine (parallel/overlap.py),
+    so each chip runs the fused Pallas kernel on its local volume while
+    the t-halos ride ICI.  Drop-in fine level for mg/dsolve.DeviceMG —
+    setup (null vectors, probing) and the V-cycle work unchanged; the
+    coarse levels stay GSPMD/replicated (mg/shard.py header).
+
+    u_ext: packed FULL-link gauge with the t-halo slice appended
+    per-shard, stored as a global array [4, 2, 3, 3, 2, T + nt, Z, S]
+    sharded over T (each shard holds Tl + 1 slices) — gauge halos are
+    static per configuration, exchanged once here.
+    """
+    lat: Lattice
+    lmesh: object                 # parallel.mesh.LatticeMesh (t-only)
+    u_ext: jax.Array
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+    backend: str = "pallas"
+    block_z: int | None = None
+    interpret: bool = False
+
+    @staticmethod
+    def build(lat, lmesh, u_pk, kappa, mu=0.0, flavor=+1,
+              backend="pallas", block_z=None, interpret=False):
+        """u_pk: packed full-link gauge [4,2,3,3,2,T,Z,S] (unsharded or
+        sharded); exchanges the static gauge halo once."""
+        assert lmesh.nz == 1, "ShardedFineLevel shards T only"
+        u_sh = lmesh.shard_gauge(u_pk)
+
+        def fn(u_loc):
+            from ..parallel.sharded import _exchange_gauge
+            return _exchange_gauge(u_loc, lmesh.nt, 1, None)
+
+        spec = lmesh.gauge_spec()
+        u_ext = jax.jit(jax.shard_map(
+            fn, mesh=lmesh.mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False))(u_sh)
+        return ShardedFineLevel(lat=lat, lmesh=lmesh, u_ext=u_ext,
+                                kappa=kappa, mu=mu, flavor=flavor,
+                                backend=backend, block_z=block_z,
+                                interpret=interpret)
+
+    @property
+    def n(self) -> int:
+        return 12
+
+    def _smap(self, fn, n_in):
+        m = self.lmesh
+        sp = P(None, *m.spinor_spec())          # [2ri, 2par, 4,3,T,Z,S]
+        return jax.shard_map(fn, mesh=m.mesh,
+                             in_specs=(m.gauge_spec(),) + (sp,) * n_in,
+                             out_specs=sp, check_vma=False)
+
+    def _hops(self, u_ext_loc, v_loc, dagger, dirs=None):
+        """D v over both parities on one shard (overlap engine)."""
+        from ..parallel.overlap import dslash_overlap
+        ve = v_loc[:, 0]
+        vo = v_loc[:, 1]
+        de = dslash_overlap(u_ext_loc, vo, 1, self.lat, self.lmesh,
+                            dagger, block_z=self.block_z,
+                            interpret=self.interpret,
+                            backend=self.backend, dirs=dirs)
+        do = dslash_overlap(u_ext_loc, ve, 0, self.lat, self.lmesh,
+                            dagger, block_z=self.block_z,
+                            interpret=self.interpret,
+                            backend=self.backend, dirs=dirs)
+        return jnp.stack([de, do], axis=1)
+
+    def apply(self, v: jax.Array) -> jax.Array:
+        """M v = (1 + 2 i kappa mu f g5) v - kappa D v.
+
+        Traced-only entry (like every DeviceMG level method): call it
+        under jit — eager shard_map dispatches each unrolled op
+        separately (see tests/test_overlap.py note)."""
+        from ..mg.device import _itwg5_pk
+
+        def fn(u_l, v_l):
+            d = self._hops(u_l, v_l, dagger=False)
+            tw = 2.0 * self.kappa * self.mu * self.flavor
+            k = jnp.asarray(self.kappa, v_l.dtype)
+            # site term: v + i tw g5 v (packed twist, both parities)
+            site = jnp.stack([v_l[:, par] + _itwg5_pk(v_l[:, par], tw)
+                              for par in range(2)], axis=1)
+            return site - k * d
+
+        return self._smap(fn, 1)(self.u_ext, v)
+
+    def apply_hop(self, v: jax.Array, mu_: int, sign: int) -> jax.Array:
+        """Single hop term of M (including the -kappa), both parities
+        (Galerkin probing path)."""
+
+        def fn(u_l, v_l):
+            d = self._hops(u_l, v_l, dagger=False,
+                           dirs=((mu_, sign),))
+            return jnp.asarray(-self.kappa, v_l.dtype) * d
+
+        return self._smap(fn, 1)(self.u_ext, v)
+
+    def as_hp(self) -> "object":
+        """f64 defect-correction twin: the XLA stencil on the UNextended
+        gauge under GSPMD (rolls auto-partition; no shard_map needed)."""
+        from .device import DeviceFineLevel
+        Tl = self.lat.Lt // self.lmesh.nt
+        m = self.lmesh
+
+        def strip(u_l):
+            # drop the per-shard gauge halo slice (extended Tl + 1)
+            return u_l[..., :Tl, :, :]
+
+        u_pk = jax.jit(jax.shard_map(
+            strip, mesh=m.mesh, in_specs=(m.gauge_spec(),),
+            out_specs=m.gauge_spec(), check_vma=False))(self.u_ext)
+        return DeviceFineLevel(self.lat, u_pk, self.kappa, self.mu,
+                               self.flavor, backend="xla")
+
+    def sloppy(self, dtype=jnp.bfloat16) -> "ShardedFineLevel":
+        import dataclasses as dc
+        return dc.replace(self, u_ext=self.u_ext.astype(dtype))
+
+    def random_field(self, key) -> jax.Array:
+        shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,
+                 self.lat.Ly * self.lat.Lx // 2)
+        v = jax.random.normal(key, shape, dtype=jnp.float32)
+        return jax.device_put(
+            v, NamedSharding(self.lmesh.mesh,
+                             P(None, *self.lmesh.spinor_spec())))
 
 
 def make_mg_mesh(n_t: int, devices=None) -> Mesh:

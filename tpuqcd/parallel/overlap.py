@@ -88,7 +88,8 @@ def _pperm(x, axis_name, shift):
 def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
                    dagger: bool, block_z: int | None = None,
                    interpret: bool = False,
-                   backend: str = "pallas") -> jax.Array:
+                   backend: str = "pallas",
+                   dirs: tuple | None = None) -> jax.Array:
     """Sharded hopping term D_{q<-p} with interior/exterior split.
 
     u_ext: per-shard packed gauge WITH the t/z halo slabs appended
@@ -107,14 +108,20 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
     tn, zn = lmesh.nt, lmesh.nz
     Tl, Zl = lmesh.local_dims
 
+    def has(mu, sign):
+        """dirs filter (single-leg probing, as in the kernel)."""
+        return dirs is None or (mu, sign) in dirs
+
     # 1. halo sends first: nothing below depends on them until the
     # corrections, so the collective-permute can ride ICI while the
     # interior kernel occupies the core
-    if tn > 1:
+    if tn > 1 and has(3, -1):
         psi_t_lo = _pperm(psi_loc[:, :, :, -1:], "t", +1)   # psi(t=-1)
+    if tn > 1 and has(3, +1):
         psi_t_hi = _pperm(psi_loc[:, :, :, :1], "t", -1)    # psi(t=Tl)
-    if zn > 1:
+    if zn > 1 and has(2, -1):
         psi_z_lo = _pperm(psi_loc[:, :, :, :, -1:], "z", +1)
+    if zn > 1 and has(2, +1):
         psi_z_hi = _pperm(psi_loc[:, :, :, :, :1], "z", -1)
 
     # 2. interior: full local volume with LOCAL-periodic wraps (the
@@ -126,47 +133,53 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
         from ..ops.dslash_pallas import dslash_eo_pallas
         out = dslash_eo_pallas(u_loc, psi_loc, p, lat, dagger=dagger,
                                block_z=block_z, interpret=interpret,
-                               local_dims=(Tl, Zl))
+                               local_dims=(Tl, Zl), dirs=dirs)
     else:
         from ..ops.dslash_xla import dslash_eo_dev_ri
         lat_loc = Lattice((lat.Lx, lat.Ly, Zl, Tl))
-        out = dslash_eo_dev_ri(u_loc, psi_loc, p, lat_loc, dagger=dagger)
+        out = dslash_eo_dev_ri(u_loc, psi_loc, p, lat_loc, dagger=dagger,
+                               dirs=dirs)
 
     # 3. t-direction repairs (mu = 3); tn == 1 means the local wrap IS
     # the correct global wrap
-    if tn > 1:
+    if tn > 1 and (has(3, +1) or has(3, -1)):
         fwd3 = _nz((PROJ_PLUS if dagger else PROJ_MINUS)[3])
         bwd3 = _nz((PROJ_MINUS if dagger else PROJ_PLUS)[3])
-        # forward leg at result t = Tl-1: local wrap used psi[0]
-        u_q_last = u_loc[3, q, :, :, :, -1:, :, :]
-        d_hi = psi_t_hi - psi_loc[:, :, :, :1]
-        corr_last = _leg(fwd3, u_q_last, d_hi, dagger_u=False)
-        # backward leg at result t = 0: local wrap used local link+psi
-        u_p_hal = u_ext[3, p, :, :, :, Tl:Tl + 1, :Zl, :]   # U_t(t=-1)
-        u_p_last = u_loc[3, p, :, :, :, -1:, :, :]
-        corr_first = (_leg(bwd3, u_p_hal, psi_t_lo, dagger_u=True)
-                      - _leg(bwd3, u_p_last, psi_loc[:, :, :, -1:],
-                             dagger_u=True))
-        out = jnp.concatenate(
-            [out[:, :, :, :1] + corr_first,
-             out[:, :, :, 1:-1],
-             out[:, :, :, -1:] + corr_last], axis=3)
+        first = out[:, :, :, :1]
+        last = out[:, :, :, -1:]
+        if has(3, +1):
+            # forward leg at result t = Tl-1: local wrap used psi[0]
+            u_q_last = u_loc[3, q, :, :, :, -1:, :, :]
+            d_hi = psi_t_hi - psi_loc[:, :, :, :1]
+            last = last + _leg(fwd3, u_q_last, d_hi, dagger_u=False)
+        if has(3, -1):
+            # backward leg at result t = 0: local wrap used local data
+            u_p_hal = u_ext[3, p, :, :, :, Tl:Tl + 1, :Zl, :]  # U_t(t=-1)
+            u_p_last = u_loc[3, p, :, :, :, -1:, :, :]
+            first = first + (
+                _leg(bwd3, u_p_hal, psi_t_lo, dagger_u=True)
+                - _leg(bwd3, u_p_last, psi_loc[:, :, :, -1:],
+                       dagger_u=True))
+        out = jnp.concatenate([first, out[:, :, :, 1:-1], last], axis=3)
 
     # 4. z-direction repairs (mu = 2)
-    if zn > 1:
+    if zn > 1 and (has(2, +1) or has(2, -1)):
         fwd2 = _nz((PROJ_PLUS if dagger else PROJ_MINUS)[2])
         bwd2 = _nz((PROJ_MINUS if dagger else PROJ_PLUS)[2])
-        u_q_last = u_loc[2, q, :, :, :, :, -1:, :]
-        d_hi = psi_z_hi - psi_loc[:, :, :, :, :1]
-        corr_last = _leg(fwd2, u_q_last, d_hi, dagger_u=False)
-        u_p_hal = u_ext[2, p, :, :, :, :Tl, -1:, :]         # U_z(z=-1)
-        u_p_last = u_loc[2, p, :, :, :, :, -1:, :]
-        corr_first = (_leg(bwd2, u_p_hal, psi_z_lo, dagger_u=True)
-                      - _leg(bwd2, u_p_last, psi_loc[:, :, :, :, -1:],
-                             dagger_u=True))
-        out = jnp.concatenate(
-            [out[:, :, :, :, :1] + corr_first,
-             out[:, :, :, :, 1:-1],
-             out[:, :, :, :, -1:] + corr_last], axis=4)
+        first = out[:, :, :, :, :1]
+        last = out[:, :, :, :, -1:]
+        if has(2, +1):
+            u_q_last = u_loc[2, q, :, :, :, :, -1:, :]
+            d_hi = psi_z_hi - psi_loc[:, :, :, :, :1]
+            last = last + _leg(fwd2, u_q_last, d_hi, dagger_u=False)
+        if has(2, -1):
+            u_p_hal = u_ext[2, p, :, :, :, :Tl, -1:, :]     # U_z(z=-1)
+            u_p_last = u_loc[2, p, :, :, :, :, -1:, :]
+            first = first + (
+                _leg(bwd2, u_p_hal, psi_z_lo, dagger_u=True)
+                - _leg(bwd2, u_p_last, psi_loc[:, :, :, :, -1:],
+                       dagger_u=True))
+        out = jnp.concatenate([first, out[:, :, :, :, 1:-1], last],
+                              axis=4)
 
     return out
