@@ -84,37 +84,70 @@ def main():
             jax.random.PRNGKey(23), cfg.physics.tsm_cheap))
         est = loops_tsm(solve_cheap, solve_u, keys_cheap, keys,
                         INSERTION_GAMMAS, lat, momenta)
+        est_der = None
     else:
         from .common import accel
         import os
         acc = accel()
         use_dev = (acc.platform != "cpu"
                    or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
+        ka, m_ = cfg.action.kappa, cfg.action.mu
+
+        def _acc_into(tot, est):
+            if tot is None:
+                return est
+            return {k: tot[k] + est[k] for k in tot}
+
+        # ultra-local AND one-derivative estimates from the SAME psi
+        # per noise (the reference's `_w_One_Der_` program structure)
+        est = None
+        est_der = None
         if use_dev:
             # all-device path: packed noise, packed solves, streaming
             # contraction + momentum projection (phys/loops_dev.py)
-            from ..phys.loops_dev import loops_stochastic_pk
+            from ..phys.loops_dev import (loop_one_end_der_pk,
+                                          loop_one_end_pk, z4_noise_pk)
             g5pk = jnp.asarray(g5d, jnp.float32)[:, None, None, None, None]
-
-            def solve_ddag_pk(b_pk):
-                x = solve.packed_src(b_pk * g5pk, flavor=+1)
-                return x * g5pk
-
-            est = loops_stochastic_pk(
-                None, keys, INSERTION_GAMMAS, lat, momenta, one_end=True,
-                kappa=cfg.action.kappa, mu=cfg.action.mu,
-                solve_fn_dag_pk=solve_ddag_pk)
+            u_acc = jax.device_put(u_pk, acc)
+            for key in keys:
+                eta = z4_noise_pk(key, lat)
+                psi = solve.packed_src(eta * g5pk, flavor=+1) * g5pk
+                est = _acc_into(est, loop_one_end_pk(
+                    psi, INSERTION_GAMMAS, lat, momenta, ka, m_))
+                der = {}
+                for nu in range(4):
+                    d = loop_one_end_der_pk(psi, u_acc, INSERTION_GAMMAS,
+                                            nu, lat, momenta, ka, m_)
+                    der.update({f"{k}_D{nu}": v for k, v in d.items()})
+                est_der = _acc_into(est_der, der)
         else:
-            est = loops_stochastic(
-                None, keys, INSERTION_GAMMAS, lat, momenta, one_end=True,
-                kappa=cfg.action.kappa, mu=cfg.action.mu,
-                solve_fn_dag=solve_ddag)
+            from ..phys.loops import (loop_one_end, loop_one_end_der,
+                                      z4_noise)
+            for key in keys:
+                eta = z4_noise(key, lat)
+                psi = solve_ddag(eta)
+                est = _acc_into(est, loop_one_end(
+                    psi, INSERTION_GAMMAS, lat, momenta, ka, m_))
+                der = {}
+                for nu in range(4):
+                    d = loop_one_end_der(psi, u_full, INSERTION_GAMMAS,
+                                         nu, lat, momenta, ka, m_)
+                    der.update({f"{k}_D{nu}": v for k, v in d.items()})
+                est_der = _acc_into(est_der, der)
+        n = len(keys)
+        est = {k: v / n for k, v in est.items()}
+        est_der = {k: v / n for k, v in est_der.items()}
 
     names = list(est.keys())
     arr = np.stack([np.asarray(est[k]) for k in names])
     write_loops(cfg.physics.output, "loops/oneend", arr, names,
                 meta={"n_noise": cfg.physics.n_noise,
                       "kappa": cfg.action.kappa, "mu": cfg.action.mu})
+    if est_der is not None:
+        dnames = list(est_der.keys())
+        write_loops(cfg.physics.output, "loops/oneend_der",
+                    np.stack([np.asarray(est_der[k]) for k in dnames]),
+                    dnames)
     if low is not None:
         arr_low = np.stack([np.asarray(low[k]) for k in names])
         write_loops(cfg.physics.output, "loops/lowmode", arr_low, names)

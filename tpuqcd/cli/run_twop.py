@@ -90,6 +90,12 @@ def main():
                        f"twop/proton/{pname}/{tag}", np.asarray(c2),
                        momenta, src, meta={"kappa": cfg.action.kappa,
                                            "mu": cfg.action.mu})
+            # neutron = isospin mirror (swap u <-> d propagators)
+            c2n = proton(props["d"], props["u"], lat, momenta,
+                         src_pos=tuple(src), proj=proj)
+            write_twop(cfg.physics.output,
+                       f"twop/neutron/{pname}/{tag}", np.asarray(c2n),
+                       momenta, src)
         cpi = meson(props["u"], props["u"], GAMMA5, lat, momenta,
                     src_pos=tuple(src))
         write_twop(cfg.physics.output, f"twop/pion/{tag}",

@@ -105,6 +105,16 @@ def proton_2pt(su: jax.Array, sd: jax.Array, lat: Lattice,
                            src_pos=(src_pos[3], src_pos[2], src_pos[1]))
 
 
+def neutron_2pt(su: jax.Array, sd: jax.Array, lat: Lattice,
+                momenta: np.ndarray, src_pos=(0, 0, 0, 0),
+                proj: np.ndarray = PARITY_PLUS) -> jax.Array:
+    """Neutron (ddu) two-point function: the isospin mirror of the
+    proton interpolator — swap the u and d propagators (C23; exact
+    at the Wick-contraction level for the eps (d^T C g5 u) d operator).
+    """
+    return proton_2pt(sd, su, lat, momenta, src_pos=src_pos, proj=proj)
+
+
 def meson_2pt(s1: jax.Array, s2: jax.Array, gamma: np.ndarray,
               lat: Lattice, momenta: np.ndarray,
               src_pos=(0, 0, 0, 0)) -> jax.Array:

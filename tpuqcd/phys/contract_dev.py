@@ -236,6 +236,16 @@ def proton_2pt_dev(su: jax.Array, sd: jax.Array, lat: Lattice,
                               (src_pos[3], src_pos[2], src_pos[1]))
 
 
+def neutron_2pt_dev(su: jax.Array, sd: jax.Array, lat: Lattice,
+                    momenta: np.ndarray, src_pos=(0, 0, 0, 0),
+                    proj: np.ndarray = PARITY_PLUS) -> jax.Array:
+    """Neutron two-point function, device engine: the isospin mirror
+    of the proton (swap u and d packed propagators; contract.neutron_2pt).
+    """
+    return proton_2pt_dev(sd, su, lat, momenta, src_pos=src_pos,
+                          proj=proj)
+
+
 def meson_2pt_dev(s1: jax.Array, s2: jax.Array, gamma: np.ndarray,
                   lat: Lattice, momenta: np.ndarray,
                   src_pos=(0, 0, 0, 0)) -> jax.Array:

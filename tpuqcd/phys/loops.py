@@ -83,6 +83,41 @@ def loop_one_end(psi: jax.Array, gammas: dict, lat: Lattice,
     return out
 
 
+def loop_plain_der(eta: jax.Array, psi: jax.Array, u_full: jax.Array,
+                   gammas: dict, nu: int, lat: Lattice,
+                   momenta: np.ndarray) -> dict:
+    """One-derivative loop insertions (the `_One_Der_` in the reference
+    program names [U]; SURVEY.md C26): single-noise estimate of
+    Tr[Gamma D_nu S] via sum_x e^{-iq.x} eta^dag(x) Gamma (D_nu psi)(x)
+    with the symmetric covariant derivative of phys/threep.cov_shift."""
+    from .threep import cov_shift
+    fw = cov_shift(u_full, psi, nu, +1)
+    bw = cov_shift(u_full, psi, nu, -1)
+    dpsi = 0.5 * (fw - bw)
+    return loop_plain(eta, dpsi, gammas, lat, momenta)
+
+
+def loop_one_end_der(psi: jax.Array, u_full: jax.Array, gammas: dict,
+                     nu: int, lat: Lattice, momenta: np.ndarray,
+                     kappa: float, mu: float) -> dict:
+    """One-end one-derivative d-u loop estimate:
+    4 i kappa mu psi^dag Gamma g5 (D_nu psi), psi = g5 M_u^{-1} g5 eta."""
+    from .threep import cov_shift
+    ph = jnp.asarray(momentum_phases(lat, momenta), dtype=psi.dtype)
+    fw = cov_shift(u_full, psi, nu, +1)
+    bw = cov_shift(u_full, psi, nu, -1)
+    dpsi = 0.5 * (fw - bw)
+    pref = jnp.asarray(4j * kappa * mu, dtype=psi.dtype)
+    g5 = jnp.asarray(_G5D, dtype=jnp.float32)
+    out = {}
+    for name, g in gammas.items():
+        gm = jnp.asarray(g, dtype=psi.dtype)
+        dens = jnp.einsum("tzyxsc,su,u,tzyxuc->tzyx", jnp.conj(psi), gm,
+                          g5, dpsi, optimize=True)
+        out[name] = pref * jnp.einsum("nzyx,tzyx->nt", ph, dens)
+    return out
+
+
 def loops_stochastic(solve_fn: Callable, keys, gammas: dict, lat: Lattice,
                      momenta: np.ndarray, *, one_end: bool = False,
                      kappa: float = 0.0, mu: float = 0.0,

@@ -21,6 +21,7 @@ momentum-projected on device (phys/threep_dev.project_momenta_pk).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -104,6 +105,45 @@ def loop_one_end_pk(psi_pk: jax.Array, gammas: dict, lat: Lattice,
                           * _G5D[None, :])   # O g5, diag g5 right-mult
             for name, g in gammas.items()}
     return _loop_all(psi_pk, psi_pk, mats, lat, momenta)
+
+
+def cov_deriv_sym_spinor_pk(u_pk: jax.Array, psi_pk: jax.Array, nu: int,
+                            lat: Lattice) -> jax.Array:
+    """Symmetric covariant derivative of a packed SPINOR
+    [2par, 2ri, 4, 3, T, Z, S] (solver layout): reuses the propagator
+    engine of phys/threep_dev via degenerate source axes."""
+    from .threep_dev import cov_deriv_sym_pk
+    # -> [2ri, 2par, 4, 3, 1, 1, T, Z, S] (the engine broadcasts the
+    # spectator source axes)
+    f = jnp.swapaxes(psi_pk, 0, 1)[:, :, :, :, None, None]
+    d = cov_deriv_sym_pk(u_pk, f, nu, lat)
+    return jnp.swapaxes(d[:, :, :, :, 0, 0], 0, 1)
+
+
+@partial(jax.jit, static_argnames=("nu", "lat"))
+def _deriv_jit(u_pk, psi_pk, *, nu, lat):
+    return cov_deriv_sym_spinor_pk(u_pk, psi_pk, nu, lat)
+
+
+def loop_plain_der_pk(eta_pk: jax.Array, psi_pk: jax.Array,
+                      u_pk: jax.Array, gammas: dict, nu: int,
+                      lat: Lattice, momenta: np.ndarray) -> dict:
+    """Device one-derivative loop insertions (loops.loop_plain_der):
+    eta^dag Gamma (D_nu psi), everything packed/streaming."""
+    dpsi = _deriv_jit(u_pk, psi_pk, nu=int(nu), lat=lat)
+    return _loop_all(eta_pk, dpsi, gammas, lat, momenta)
+
+
+def loop_one_end_der_pk(psi_pk: jax.Array, u_pk: jax.Array, gammas: dict,
+                        nu: int, lat: Lattice, momenta: np.ndarray,
+                        kappa: float, mu: float) -> dict:
+    """Device one-end one-derivative loop (loops.loop_one_end_der)."""
+    dpsi = _deriv_jit(u_pk, psi_pk, nu=int(nu), lat=lat)
+    pref = 4j * kappa * mu
+    mats = {name: pref * (np.asarray(g, dtype=np.complex64)
+                          * _G5D[None, :])
+            for name, g in gammas.items()}
+    return _loop_all(psi_pk, dpsi, mats, lat, momenta)
 
 
 def loops_stochastic_pk(solve_fn_pk: Callable, keys, gammas: dict,
