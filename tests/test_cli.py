@@ -110,6 +110,20 @@ def test_cli_loops(monkeypatch, tmp_path):
         assert np.all(np.isfinite(vd[k]))
 
 
+def test_cli_loops_deflated(monkeypatch, tmp_path):
+    """Deflated loops: exact low-mode part + deflated stochastic part."""
+    from tpuqcd.cli.run_loops import main
+    phys = """  n_noise: 2
+  n_deflate: 2
+  momenta: [[0, 0, 0]]"""
+    out = _run(monkeypatch, tmp_path, main, phys, "loops_defl.h5")
+    vals = _h5_all(out)
+    assert any("lowmode" in k for k in vals), list(vals)
+    assert any("oneend" in k for k in vals)
+    for k in vals:
+        assert np.all(np.isfinite(vals[k])), k
+
+
 def test_cli_invert(monkeypatch, tmp_path, capsys):
     from tpuqcd.cli.run_invert import main
     cfgp = tmp_path / "inv.yaml"

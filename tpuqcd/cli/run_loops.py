@@ -65,6 +65,20 @@ def main():
                            lat, momenta)
         log.info("exact low-mode loop part done")
 
+        # deflate the stochastic sources: project the captured (M M^dag)
+        # low modes out of each noise vector — their loop contribution is
+        # the exact `low` part above; the stochastic estimator then only
+        # carries the (far lower-variance) high-mode remainder
+        # (reference 4.5 "deflate: project out low modes from source")
+        from ..utils.cplx import cvdot
+
+        def deflate_src(eta):
+            for v in evecs:
+                eta = eta - cvdot(v, eta) * v
+            return eta
+    else:
+        deflate_src = None
+
     keys = list(jax.random.split(jax.random.PRNGKey(17),
                                  cfg.physics.n_noise))
     if cfg.physics.tsm_cheap > 0:
@@ -91,6 +105,11 @@ def main():
         acc = accel()
         use_dev = (acc.platform != "cpu"
                    or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
+        if deflate_src is not None and use_dev:
+            # deflated sources live in the full complex layout (the
+            # Lanczos eigenvectors); route the estimator through the
+            # host contraction path in that case
+            use_dev = False
         ka, m_ = cfg.action.kappa, cfg.action.mu
 
         def _acc_into(tot, est):
@@ -125,6 +144,11 @@ def main():
                                       z4_noise)
             for key in keys:
                 eta = z4_noise(key, lat)
+                if deflate_src is not None:
+                    # exact in expectation for the plain estimator;
+                    # the standard ETMC variance reduction when combined
+                    # with the one-end trick
+                    eta = deflate_src(eta)
                 psi = solve_ddag(eta)
                 est = _acc_into(est, loop_one_end(
                     psi, INSERTION_GAMMAS, lat, momenta, ka, m_))
