@@ -147,3 +147,30 @@ def test_gaussian_smearing_preserves_norm_shape():
     s_before = np.asarray(src)[0].sum()
     s_after = t0.sum()
     np.testing.assert_allclose(s_after, s_before, rtol=1e-5)
+
+
+def test_gaussian_smear_pk_matches_complex():
+    """Packed-real Wuppertal smearing == the complex-layout version (the
+    TPU production path; complex arrays cannot transfer to the axon
+    backend)."""
+    from tpuqcd import su3
+    from tpuqcd.fields import gauge_full_to_eo
+    from tpuqcd.lattice import Lattice
+    from tpuqcd.ops.layout import gauge_to_device
+    from tpuqcd.phys.smear import gaussian_smear, gaussian_smear_pk
+    from tpuqcd.utils.packed import pack_gauge
+
+    lat = Lattice((4, 4, 4, 8))
+    u = su3.random_gauge(jax.random.PRNGKey(3), lat)
+    u_dev = gauge_to_device(gauge_full_to_eo(u, lat), lat)
+    u_pk = pack_gauge(u_dev)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    shape = (2, 4, 3, lat.Lt, lat.Lz, lat.Ly * lat.Lx // 2)
+    psi = (jax.random.normal(k1, shape) +
+           1j * jax.random.normal(k2, shape)).astype(jnp.complex64)
+    want = gaussian_smear(u_dev, psi, lat, alpha=1.5, n_steps=4)
+    psi_pk = jnp.stack([jnp.real(psi), jnp.imag(psi)], axis=1)
+    got = gaussian_smear_pk(u_pk, psi_pk, lat, alpha=1.5, n_steps=4)
+    got_c = got[:, 0] + 1j * got[:, 1]
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)

@@ -40,7 +40,9 @@ def main():
     use_dev = (acc.platform != "cpu"
                or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
     if use_dev and cfg.physics.smear_n_gauss > 0:
-        u_sm_acc = jax.device_put(u_sm, acc)
+        # packed form: complex gauge arrays cannot device_put to the TPU
+        from ..utils.packed import pack_gauge
+        u_sm_acc = jax.device_put(pack_gauge(u_sm), acc)
 
     for src in cfg.physics.source_positions:
         log.info("source %s (contractions on %s)", src,

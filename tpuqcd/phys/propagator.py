@@ -118,12 +118,12 @@ def assemble_propagator_pk(cols_pk) -> jax.Array:
     return jnp.transpose(p, (3, 2, 4, 5, 0, 1, 6, 7, 8))
 
 
-def sink_smear_packed(u_smear_dev, x_pk: jax.Array, lat: Lattice,
+def sink_smear_packed(u_smear_pk, x_pk: jax.Array, lat: Lattice,
                       alpha: float, n_steps: int) -> jax.Array:
     """Gaussian-smear one packed solution [2(par), 2(ri), 4, 3, T, Z, S]
-    in the complex device layout (stays on the accelerator)."""
-    from .smear import gaussian_smear
-    dev = jax.lax.complex(x_pk[:, 0], x_pk[:, 1])   # [2par, 4, 3, T, Z, S]
-    sm = gaussian_smear(u_smear_dev, dev, lat, alpha, n_steps)
-    return jnp.stack([jnp.real(sm), jnp.imag(sm)], axis=1) \
-        .astype(x_pk.dtype)
+    entirely on packed-real planes (stays on the accelerator — complex
+    arrays can neither transfer to nor roll on the axon TPU backend).
+
+    u_smear_pk: PACKED APE-smeared gauge (utils/packed.pack_gauge)."""
+    from .smear import gaussian_smear_pk
+    return gaussian_smear_pk(u_smear_pk, x_pk, lat, alpha, n_steps)
