@@ -170,21 +170,35 @@ class DeviceMG:
         return self._jit_cache
 
     def solve(self, b, tol=1e-6, maxiter=200):
-        """MG-preconditioned GCR on the fine system M x = b (fp32)."""
+        """MG-preconditioned GCR on the fine system M x = b (fp32).
+
+        The RHS is normalized to unit norm before iterating: the packed
+        algebra's epsilon floors (pkalg.sdiv 1e-30, Cholesky 1e-12) are
+        calibrated for O(1) fields, and production sources can be tiny —
+        a sequential source at a deep t_sink measured |b| ~ 1e-8, whose
+        un-normalized solve stalled at relres 1e-8 with the floors
+        swallowing the GCR scalars (M is linear; the rescale is exact).
+        """
         from ..solvers.krylov_pk import GCRResultPk
         cycle, residual = self._jits()
         state = self.state
-        x = jnp.zeros_like(b)
         bsq = float(pk.norm2(b))
-        tol2 = tol * tol * bsq
+        if bsq == 0.0:
+            return GCRResultPk(x=jnp.zeros_like(b), relres=0.0, iters=0,
+                               converged=True)
+        bnorm = bsq ** 0.5
+        b = b * jnp.asarray(1.0 / bnorm, b.dtype)
+        x = jnp.zeros_like(b)
+        tol2 = tol * tol
         r, rsq = residual(state, x, b)
         total = 0
         while total < maxiter and float(rsq) > tol2:
             x, _, _ = cycle(state, x, r)
             r, rsq = residual(state, x, b)
             total += self.params.restart
-        relres = (float(rsq) / max(bsq, 1e-300)) ** 0.5
-        return GCRResultPk(x=x, relres=relres, iters=total,
+        relres = float(rsq) ** 0.5
+        return GCRResultPk(x=x * jnp.asarray(bnorm, x.dtype),
+                           relres=relres, iters=total,
                            converged=float(rsq) <= tol2)
 
     def solve_certified(self, b, *, tol=1e-10, inner_tol=1e-5,
@@ -210,8 +224,17 @@ class DeviceMG:
         hp, residual_hp = self._hp_cache
 
         b64 = b.astype(jnp.float64)
+        bsq0 = float(pk.norm2(b64, dtype=jnp.float64))
+        if bsq0 == 0.0:
+            return b64, 0.0, 0
+        # normalize: keeps every residual quantity O(relres) — the
+        # TPU's emulated f64 inherits the f32 exponent range, so squared
+        # residuals of un-normalized tiny sources (|b| ~ 1e-8 sequential
+        # sources) underflow to 0 and the certification loses its meter
+        bnorm = bsq0 ** 0.5
+        b64 = b64 * (1.0 / bnorm)
         x = jnp.zeros_like(b64)
-        bsq = float(pk.norm2(b64, dtype=jnp.float64))
+        bsq = 1.0
         total = 0
         rel = 1.0
         for it in range(max_refine):
@@ -236,4 +259,4 @@ class DeviceMG:
         else:  # max_refine exhausted: certify the final iterate
             _, rsq = residual_hp(hp, x, b64)
             rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
-        return x, rel, total
+        return x * bnorm, rel, total
