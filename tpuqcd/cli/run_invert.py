@@ -6,8 +6,6 @@ full reporting — iteration counts, certified residual, GFLOP/s.
 """
 from __future__ import annotations
 
-import time
-
 import numpy as np
 
 from .common import log, make_solver, parse_args, setup_gauge

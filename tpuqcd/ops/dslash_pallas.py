@@ -27,7 +27,6 @@ Correctness oracle: ops/dslash_xla.dslash_eo_dev (tests/test_dslash_pallas).
 """
 from __future__ import annotations
 
-import os
 
 import functools
 

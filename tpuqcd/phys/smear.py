@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..lattice import Lattice
-from ..ops import mat3
 from ..ops.shifts import neighbor
 
 
