@@ -109,10 +109,58 @@ def test_packed_clover_pallas_matches_complex():
 
     op = PackedTMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW,
                                   interpret=True)
-    cl = op.pack_clover_data(clov)
-    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
-    out = unpack_spinor(op.apply(u_pk, cl, psi_pk))
+    u_pk = pack_gauge(u)
+    fields = op.make_fields(u_pk, clov)
+    psi_pk = pack_spinor(psi)
+    out = unpack_spinor(op.apply(fields, psi_pk))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
-    outd = unpack_spinor(op.apply_dagger(u_pk, cl, psi_pk))
+    outd = unpack_spinor(op.apply_dagger(fields, psi_pk))
     np.testing.assert_allclose(np.asarray(outd), np.asarray(refd),
                                atol=3e-5)
+    # the dtype-generic XLA backend (also the f64 hp operator) agrees
+    op_x = PackedTMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW,
+                                    backend="xla")
+    out_x = unpack_spinor(op_x.apply(fields, psi_pk))
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(ref),
+                               atol=3e-5)
+    # prepare/reconstruct against the complex operator
+    b = jnp.stack([_psi(41), _psi(42)])
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    bhat = op_x.prepare(fields, b_pk)
+    want_bhat = op_ref.prepare(u, clov, b)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(bhat)),
+                               np.asarray(want_bhat), atol=3e-5)
+    x = op_x.reconstruct(fields, bhat, b_pk)
+    want_x = op_ref.reconstruct(u, clov, unpack_spinor(bhat), b)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(x[1])),
+                               np.asarray(want_x[1]), atol=3e-5)
+
+
+def test_solve_tm_clover_bicgstab_bf16():
+    """BASELINE config 2: even-odd TM-clover, mixed fp32/bf16 BiCGStab
+    to a certified 1e-10 residual through the high-level solve API."""
+    from tpuqcd.solve import make_clover_fields, solve_tm
+    from tpuqcd.utils.packed import pack_gauge, pack_spinor, unpack_spinor
+
+    u = _u(11)
+    u_pk = pack_gauge(u)
+    clover = make_clover_fields(u_pk, LAT, kappa=KAPPA, mu=MU, csw=CSW)
+    from tpuqcd.fields import random_spinor_dev
+    b = random_spinor_dev(jax.random.PRNGKey(21), LAT)
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    res = solve_tm(u_pk, b_pk, LAT, kappa=KAPPA, mu=MU, csw=CSW,
+                   clover=clover, tol=1e-10, solver="bicgstab",
+                   sloppy_dtype=jnp.bfloat16, backend="xla",
+                   inner_tol=1e-4)
+    assert float(res.relres) < 1e-10, float(res.relres)
+    # independent check: the solution satisfies the COMPLEX-layout
+    # TM-clover eo system
+    clov = CloverData.build(u, LAT, KAPPA, MU, CSW)
+    op = TMCloverOperatorPC(LAT, kappa=KAPPA, mu=MU, csw=CSW)
+    from tpuqcd.utils.packed import unpack_spinor as unpk
+    x = jnp.stack([unpk(res.x[0].astype(jnp.float32)),
+                   unpk(res.x[1].astype(jnp.float32))])
+    bhat = op.prepare(u, clov, b)
+    r = bhat - op.apply(u, clov, x[0])
+    rel = float(jnp.sqrt(norm2(r) / norm2(bhat)))
+    assert rel < 5e-6, rel   # f32 cross-check floor

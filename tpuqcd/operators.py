@@ -338,58 +338,6 @@ class NdegTMOperator:
         return self.apply_dagger(u, self.apply(u, chi))
 
 
-@dataclasses.dataclass(frozen=True)
-class PackedTMCloverOperatorPC:
-    """Production even-odd twisted-clover operator: fused Pallas kernels.
-
-    Two launches per apply (the reference's dslash_twisted_clover fusion):
-    clover_inv epilogue applies the precomputed twisted-inverse blocks
-    Atw_oo^{-1}, clover_xpay applies A_ee + the twist and the -kappa^2
-    accumulation.  Clover data packed via utils.packed.pack_clover.
-    """
-    lat: Lattice
-    kappa: float
-    mu: float = 0.0
-    csw: float = 1.0
-    flavor: int = +1
-    interpret: bool = False
-
-    @staticmethod
-    def pack_clover_data(clover: "CloverData"):
-        """-> dict of packed arrays for apply() (a_even, ainv_odd_plus/minus).
-        """
-        from .utils.packed import pack_clover
-        return dict(
-            a_even=pack_clover(clover.a_blocks[EVEN]),
-            ainv_plus=pack_clover(clover.ainv_odd_plus),
-            ainv_minus=pack_clover(clover.ainv_odd_minus))
-
-    def _k(self, u_pk, psi, parity, dagger, epilogue, flavor, clover_pk,
-           psi0=None):
-        from .ops.dslash_pallas import dslash_eo_pallas
-        return dslash_eo_pallas(u_pk, psi, parity, self.lat, dagger=dagger,
-                                epilogue=epilogue, kappa=self.kappa,
-                                mu=self.mu, flavor=flavor, psi0_pk=psi0,
-                                clover_pk=clover_pk,
-                                interpret=self.interpret)
-
-    def _apply(self, u_pk, cl, psi_pk, dagger):
-        f = self.flavor if not dagger else -self.flavor
-        ainv = cl["ainv_plus"] if f == +1 else cl["ainv_minus"]
-        t1 = self._k(u_pk, psi_pk, EVEN, dagger, "clover_inv", f, ainv)
-        return self._k(u_pk, t1, ODD, dagger, "clover_xpay", f,
-                       cl["a_even"], psi0=psi_pk)
-
-    def apply(self, u_pk, cl, psi_pk):
-        return self._apply(u_pk, cl, psi_pk, dagger=False)
-
-    def apply_dagger(self, u_pk, cl, psi_pk):
-        return self._apply(u_pk, cl, psi_pk, dagger=True)
-
-    def normal(self, u_pk, cl, psi_pk):
-        return self.apply_dagger(u_pk, cl, self.apply(u_pk, cl, psi_pk))
-
-
 # --- packed-real (ri-leading) twist helpers: psi [2, 4, 3, T, Z, S] --------
 
 def twist_apply_pk(psi_pk: jax.Array, kappa: float, mu: float,
@@ -500,6 +448,123 @@ class PackedTMOperatorPC:
         t = b_pk[1] + jnp.asarray(self.kappa, x_e.dtype) * d
         x_o = twist_inv_apply_pk(t, self.kappa, self.mu, self.flavor)
         return jnp.stack([x_e, x_o], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedTMCloverOperatorPC:
+    """Production even-odd twisted-CLOVER operator on packed fields
+    (the mixed-precision BiCGStab/CG workhorse of BASELINE config 2;
+    reference `dirac_twisted_clover.cpp` *PC classes [U], SURVEY.md
+    C4/C10).
+
+    Mhat = Atw_ee - k^2 D_eo Atw_oo^{-1} D_oe,
+    Atw = A_clover + 2 i kappa mu f gamma5.
+
+    Clover data travels as an explicit operand tuple (never closure-
+    captured — production-size blocks would become HLO constants):
+
+        fields = (u_pk,             [4, 2, 3, 3, 2, T, Z, S]
+                  cl_pk,            [2par, 2ri, 2chir, 6, 6, T, Z, S]
+                  clinv_o_plus,     [2ri, 2chir, 6, 6, T, Z, S]
+                  clinv_o_minus)    (twisted odd inverses per flavor)
+
+    backend="pallas" runs each apply as two fused kernel launches
+    (clover_inv + clover_xpay epilogues); "xla" is the dtype-generic
+    packed stencil (also the f64 defect-correction operator).
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    csw: float = 1.0
+    flavor: int = +1
+    backend: str = "pallas"
+    interpret: bool = False
+
+    @staticmethod
+    def make_fields(u_pk: jax.Array, clover: "CloverData"):
+        """Operand tuple from a CloverData (tests / complex-layout
+        interop); production solves build it with
+        solve.make_clover_fields."""
+        from .utils.packed import pack_clover
+        cl_pk = jnp.stack([pack_clover(clover.a_blocks[EVEN]),
+                           pack_clover(clover.a_blocks[ODD])])
+        return (u_pk, cl_pk, pack_clover(clover.ainv_odd_plus),
+                pack_clover(clover.ainv_odd_minus))
+
+    def _dslash(self, u_pk, psi, parity, dagger, epilogue, f,
+                clover_pk=None, psi0=None):
+        from .ops.dslash_pallas import dslash_eo_pallas
+        return dslash_eo_pallas(u_pk, psi, parity, self.lat,
+                                dagger=dagger, epilogue=epilogue,
+                                kappa=self.kappa, mu=self.mu, flavor=f,
+                                clover_pk=clover_pk, psi0_pk=psi0,
+                                interpret=self.interpret)
+
+    def _clinv(self, fields, f):
+        return fields[2] if f == +1 else fields[3]
+
+    def _apply(self, fields, psi_e, dagger: bool):
+        from .ops.clover import clover_apply_pk
+        u_pk, cl_pk = fields[0], fields[1]
+        f = self.flavor if not dagger else -self.flavor
+        clinv = self._clinv(fields, f)
+        k = self.kappa
+        if self.backend == "pallas":
+            t = self._dslash(u_pk, psi_e, EVEN, dagger, "clover_inv", f,
+                             clover_pk=clinv)
+            return self._dslash(u_pk, t, ODD, dagger, "clover_xpay", f,
+                                clover_pk=cl_pk[EVEN], psi0=psi_e)
+        from .ops.dslash_xla import dslash_eo_dev_ri
+        t = dslash_eo_dev_ri(u_pk, psi_e, EVEN, self.lat, dagger=dagger)
+        t = clover_apply_pk(clinv.astype(t.dtype), t)
+        t = dslash_eo_dev_ri(u_pk, t, ODD, self.lat, dagger=dagger)
+        tw = 2.0 * k * self.mu * f
+        site = clover_apply_pk(cl_pk[EVEN].astype(psi_e.dtype), psi_e) \
+            + _itwg5_packed(psi_e, tw)
+        return site - jnp.asarray(k * k, psi_e.dtype) * t
+
+    def apply(self, fields, psi_e):
+        return self._apply(fields, psi_e, dagger=False)
+
+    def apply_dagger(self, fields, psi_e):
+        return self._apply(fields, psi_e, dagger=True)
+
+    def normal(self, fields, psi_e):
+        return self.apply_dagger(fields, self.apply(fields, psi_e))
+
+    def prepare(self, fields, b_pk):
+        """bhat_e = b_e + k D_eo Atw_oo^{-1} b_o."""
+        from .ops.clover import clover_apply_pk
+        u_pk = fields[0]
+        t = clover_apply_pk(self._clinv(fields, self.flavor)
+                            .astype(b_pk.dtype), b_pk[1])
+        if self.backend == "pallas":
+            d = self._dslash(u_pk, t, ODD, False, "none", self.flavor)
+        else:
+            from .ops.dslash_xla import dslash_eo_dev_ri
+            d = dslash_eo_dev_ri(u_pk, t, ODD, self.lat)
+        return b_pk[0] + jnp.asarray(self.kappa, b_pk.dtype) * d
+
+    def reconstruct(self, fields, x_e, b_pk):
+        """x_o = Atw_oo^{-1} (b_o + k D_oe x_e)."""
+        from .ops.clover import clover_apply_pk
+        u_pk = fields[0]
+        if self.backend == "pallas":
+            d = self._dslash(u_pk, x_e, EVEN, False, "none", self.flavor)
+        else:
+            from .ops.dslash_xla import dslash_eo_dev_ri
+            d = dslash_eo_dev_ri(u_pk, x_e, EVEN, self.lat)
+        t = b_pk[1] + jnp.asarray(self.kappa, x_e.dtype) * d
+        x_o = clover_apply_pk(self._clinv(fields, self.flavor)
+                              .astype(t.dtype), t)
+        return jnp.stack([x_e, x_o], axis=0)
+
+
+def _itwg5_packed(v_pk: jax.Array, tw: float) -> jax.Array:
+    """i * tw * g5 * v on a packed [2ri, 4, 3, T, Z, S] spinor."""
+    g5 = jnp.asarray(_G5_DIAG, dtype=v_pk.dtype).reshape(4, 1, 1, 1, 1)
+    t = jnp.asarray(tw, v_pk.dtype)
+    return jnp.stack([-t * g5 * v_pk[1], t * g5 * v_pk[0]])
 
 
 @partial(jax.tree_util.register_dataclass,

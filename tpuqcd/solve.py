@@ -35,10 +35,13 @@ class SolveResult(NamedTuple):
 
 def _refined_solve(pc_sloppy, pc_hp, u_s, u_hp, bhat_hp, *, tol, maxiter,
                    inner_tol, solver):
-    """Defect-correction loop: sloppy Krylov inner, f64 true residuals."""
+    """Defect-correction loop: sloppy Krylov inner, f64 true residuals.
+
+    u_s / u_hp are opaque operator operands (a gauge array, or the
+    (gauge, clover...) tuple of PackedTMCloverOperatorPC)."""
     bsq = norm2(bhat_hp)
     tol2 = (tol * tol) * bsq
-    sdt = u_s.dtype
+    sdt = jax.tree_util.tree_leaves(u_s)[0].dtype
 
     def inner(r_s, budget):
         if solver == "bicgstab":
@@ -72,27 +75,63 @@ def _refined_solve(pc_sloppy, pc_hp, u_s, u_hp, bhat_hp, *, tol, maxiter,
     return x, jnp.sqrt(rsq / jnp.maximum(bsq, 1e-300)), k
 
 
+def make_clover_fields(u_pk: jax.Array, lat: Lattice, *, kappa: float,
+                       mu: float, csw: float):
+    """One-time clover construction for PackedTMCloverOperatorPC: the
+    A blocks (both parities) and the twisted odd-parity inverses for
+    both flavors, all packed (reference computeClover + cloverInvert
+    [U]; SURVEY.md C4).  Returns (cl_pk, clinv_plus, clinv_minus)."""
+    from .fields import ODD
+    from .ops.clover import clover_blocks, clover_twist_inverse
+    from .utils.packed import pack_clover, unpack_gauge
+    u32 = u_pk.astype(jnp.float32)
+    a = clover_blocks(unpack_gauge(u32), lat, kappa, csw)
+    cl_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+    clinv_p = pack_clover(clover_twist_inverse(a, kappa, mu, +1, ODD))
+    clinv_m = pack_clover(clover_twist_inverse(a, kappa, mu, -1, ODD))
+    return cl_pk, clinv_p, clinv_m
+
+
 def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
              kappa: float, mu: float, flavor: int = +1,
              tol: float = 1e-10, maxiter: int = 5000,
              inner_tol: float = 1e-5, solver: str = "cg",
              sloppy_dtype=jnp.float32, backend: str = "pallas",
-             interpret: bool = False) -> SolveResult:
-    """Solve the full (two-parity) twisted-mass system M x = b.
+             interpret: bool = False, csw: float = 0.0,
+             clover=None) -> SolveResult:
+    """Solve the full (two-parity) twisted-mass(-clover) system M x = b.
 
     u_pk: packed gauge [4,2,3,3,2,T,Z,S] (any float dtype; cast as needed).
     b_pk: packed source [2(par), 2(ri), 4, 3, T, Z, S].
     solver: "cg" (normal equations) or "bicgstab" (direct on Mhat).
+    csw != 0 solves the twisted-CLOVER system (BASELINE config 2); pass
+    ``clover = make_clover_fields(...)`` to amortize the one-time clover
+    construction across solves (built here otherwise).
     Residuals are certified with the f64 packed operator (SURVEY.md §8.3
     hard part #1); tol is on the *even-odd preconditioned* system.
     """
     hp = jnp.float64
-    pc_s = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
-                              backend=backend, interpret=interpret)
-    pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
-                               backend="xla")
-    u_s = u_pk.astype(sloppy_dtype)
-    u_hp = u_pk.astype(hp)
+    if csw != 0.0:
+        from .operators import PackedTMCloverOperatorPC
+        if clover is None:
+            clover = make_clover_fields(u_pk, lat, kappa=kappa, mu=mu,
+                                        csw=csw)
+        pc_s = PackedTMCloverOperatorPC(lat, kappa=kappa, mu=mu, csw=csw,
+                                        flavor=flavor, backend=backend,
+                                        interpret=interpret)
+        pc_hp = PackedTMCloverOperatorPC(lat, kappa=kappa, mu=mu, csw=csw,
+                                         flavor=flavor, backend="xla")
+        u_s = jax.tree_util.tree_map(
+            lambda a: a.astype(sloppy_dtype), (u_pk, *clover))
+        u_hp = jax.tree_util.tree_map(
+            lambda a: a.astype(hp), (u_pk, *clover))
+    else:
+        pc_s = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
+                                  backend=backend, interpret=interpret)
+        pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
+                                   backend="xla")
+        u_s = u_pk.astype(sloppy_dtype)
+        u_hp = u_pk.astype(hp)
     b_hp = b_pk.astype(hp)
 
     bhat = pc_hp.prepare(u_hp, b_hp)
