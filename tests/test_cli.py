@@ -110,6 +110,31 @@ def test_cli_loops(monkeypatch, tmp_path):
         assert np.all(np.isfinite(vd[k]))
 
 
+def test_cli_loops_unified_tsm_dilution_deflation(monkeypatch, tmp_path):
+    """The full reference estimator structure in ONE run (SURVEY.md
+    §4.5 calcMG_loops_w_oneD_TSM): TSM x one-end x one-derivative x
+    dilution x deflation, host and device paths, same schema."""
+    from tpuqcd.cli.run_loops import main
+    phys = """  n_noise: 1
+  tsm_cheap: 1
+  tsm_maxiter_cheap: 5
+  n_deflate: 2
+  dilute_t: 2
+  momenta: [[0, 0, 0]]"""
+    out = _run(monkeypatch, tmp_path, main, phys, "loops_uni.h5")
+    vals = _h5_all(out)
+    assert any("oneend_lowmode/" in k for k in vals), list(vals)
+    assert any("loops/oneend/" in k for k in vals)
+    assert any("oneend_der/" in k for k in vals)
+    assert any("oneend_lowmode_der/" in k for k in vals)
+    for k in vals:
+        assert np.all(np.isfinite(vals[k])), k
+    dev = _run(monkeypatch, tmp_path, main, phys, "loops_uni_d.h5",
+               dev=True)
+    vd = _h5_all(dev)
+    assert set(vd) == set(vals)
+
+
 def test_cli_loops_deflated(monkeypatch, tmp_path):
     """Deflated loops: exact low-mode part + deflated stochastic part."""
     from tpuqcd.cli.run_loops import main

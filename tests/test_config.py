@@ -1,0 +1,100 @@
+"""Config-time validation (SURVEY.md §6.6 param-struct discipline):
+every constraint that used to surface as a bare assert deep inside
+MG/mesh setup must fail at load_config time with an actionable message.
+"""
+import pytest
+
+from tpuqcd.utils.config import (ConfigError, load_config, RunConfig,
+                                 validate_config)
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def test_valid_default_roundtrip(tmp_path):
+    cfg = load_config(_write(tmp_path, "gauge: {dims: [8, 8, 8, 16]}\n"))
+    assert cfg.gauge.dims == (8, 8, 8, 16)
+    assert cfg.mesh.nt == 1
+
+
+def test_odd_dims_rejected(tmp_path):
+    with pytest.raises(ConfigError, match="even"):
+        load_config(_write(tmp_path, "gauge: {dims: [7, 8, 8, 16]}\n"))
+
+
+def test_bad_solver_name(tmp_path):
+    with pytest.raises(ConfigError, match="solver.solver"):
+        load_config(_write(tmp_path, "solver: {solver: gmres}\n"))
+
+
+def test_eigcg_with_csw_rejected(tmp_path):
+    with pytest.raises(ConfigError, match="eigcg"):
+        load_config(_write(
+            tmp_path,
+            "action: {csw: 1.6}\nsolver: {solver: eigcg}\n"))
+
+
+def test_mg_block_divisibility(tmp_path):
+    with pytest.raises(ConfigError, match="divide"):
+        load_config(_write(
+            tmp_path,
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "mg: {enabled: true, n_vec: [8], block: [[3, 4, 4, 4]]}\n"))
+
+
+def test_mg_nvec_block_length_mismatch(tmp_path):
+    with pytest.raises(ConfigError, match="one entry per"):
+        load_config(_write(
+            tmp_path,
+            "mg: {enabled: true, n_vec: [8, 8], block: [[4, 4, 4, 4]]}\n"))
+
+
+def test_mg_second_level_divisibility(tmp_path):
+    # 16/4 = 4 along T, then bt=8 cannot divide 4
+    with pytest.raises(ConfigError, match="level-1"):
+        load_config(_write(
+            tmp_path,
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "mg: {enabled: true, n_vec: [8, 8],"
+            " block: [[4, 4, 4, 4], [8, 2, 2, 2]]}\n"))
+
+
+def test_source_position_bounds(tmp_path):
+    with pytest.raises(ConfigError, match="outside lattice"):
+        load_config(_write(
+            tmp_path,
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "physics: {source_positions: [[16, 0, 0, 0]]}\n"))
+
+
+def test_t_sink_bounds(tmp_path):
+    with pytest.raises(ConfigError, match="t_sinks"):
+        load_config(_write(
+            tmp_path,
+            "gauge: {dims: [8, 8, 8, 16]}\nphysics: {t_sinks: [16]}\n"))
+
+
+def test_mesh_divisibility(tmp_path):
+    with pytest.raises(ConfigError, match="mesh.nt"):
+        load_config(_write(
+            tmp_path,
+            "gauge: {dims: [8, 8, 8, 16]}\nmesh: {nt: 3}\n"))
+
+
+def test_mesh_mg_block_interplay(tmp_path):
+    # local T = 16/2 = 8 is fine for eo but not divisible by bt = 3... use
+    # bt that divides Lt globally but not per shard: Lt=16, nt=4 -> local 4;
+    # bt=8 divides 16 but not 4
+    with pytest.raises(ConfigError, match="shard-local"):
+        load_config(_write(
+            tmp_path,
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "mg: {enabled: true, n_vec: [8], block: [[8, 4, 4, 4]]}\n"
+            "mesh: {nt: 4}\n"))
+
+
+def test_validate_default_runconfig():
+    validate_config(RunConfig())

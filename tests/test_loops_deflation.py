@@ -147,6 +147,193 @@ def test_tsm_unbiased_identity():
                                np.asarray(full["g5"]), atol=1e-4)
 
 
+def _full_c_to_mgpk(v_full):
+    """[T,Z,Y,X,4,3] complex -> packed [2ri, 2par, 4, 3, T, Z, S] f32."""
+    from tpuqcd.fields import full_to_eo
+    from tpuqcd.ops.layout import spinor_to_device
+    dev = spinor_to_device(full_to_eo(v_full, LAT), LAT)
+    return jnp.stack([jnp.real(dev), jnp.imag(dev)]).astype(jnp.float32)
+
+
+def _mgpk_to_full_c(v_pk):
+    from tpuqcd.fields import eo_to_full
+    from tpuqcd.ops.layout import spinor_from_device
+    c = jax.lax.complex(v_pk[0], v_pk[1])      # [2par, 4, 3, T, Z, S]
+    return eo_to_full(spinor_from_device(c, LAT), LAT)
+
+
+def test_lanczos_pk_vs_dense():
+    """Packed-real Lanczos (TPU-layout deflation path, SURVEY.md C27) on
+    A = M_d M_d^dag matches the dense spectrum, and the returned basis
+    is orthonormal to f32 precision."""
+    from tpuqcd.fields import gauge_full_to_eo
+    from tpuqcd.mg.device import DeviceFineLevel
+    from tpuqcd.ops.layout import gauge_to_device
+    from tpuqcd.utils.packed import pack_gauge
+    from tpuqcd.solvers.lanczos import lanczos_lowest_pk
+
+    u, dense = _setup()
+    u_pk = pack_gauge(gauge_to_device(gauge_full_to_eo(u, LAT), LAT))
+    lv_p = DeviceFineLevel(LAT, u_pk.astype(jnp.float32), KAPPA, MU, +1,
+                           backend="xla")
+    g5 = jnp.asarray(np.real(np.diag(GAMMA5)),
+                     jnp.float32).reshape(1, 1, 4, 1, 1, 1, 1)
+
+    def apply_a(v):           # M_d M_d^dag v; M_d^dag = g5 M_u g5
+        w = g5 * lv_p.apply(g5 * v)
+        lv_m = DeviceFineLevel(LAT, lv_p.u_pk, KAPPA, MU, -1,
+                               backend="xla")
+        return lv_m.apply(w)
+
+    m = dense["d"]
+    a = m @ m.conj().T
+    w_exact = np.linalg.eigvalsh(a)
+    v0 = jax.random.normal(jax.random.PRNGKey(2),
+                           (2, 2, 4, 3, LAT.Lt, LAT.Lz,
+                            LAT.Ly * LAT.Lx // 2), jnp.float32)
+    hi = float(w_exact[-1]) * 1.05
+    cut = float(w_exact[6])
+    evals, evecs = lanczos_lowest_pk(apply_a, v0, n_ev=4, n_iter=30,
+                                     filter_degree=24,
+                                     filter_window=(cut, hi))
+    np.testing.assert_allclose(evals, w_exact[:4], rtol=2e-4)
+    # orthonormality of the packed basis
+    for i in range(4):
+        for j in range(4):
+            vi, vj = evecs[i], evecs[j]
+            cr = float(jnp.sum(vi[0] * vj[0] + vi[1] * vj[1]))
+            ci = float(jnp.sum(vi[0] * vj[1] - vi[1] * vj[0]))
+            want = 1.0 if i == j else 0.0
+            assert abs(cr - want) < 1e-5 and abs(ci) < 1e-5, (i, j)
+    # eigen-residual |A v - lam v| small relative to lam
+    for lam, v in zip(evals, evecs):
+        r = apply_a(v) - jnp.asarray(lam, jnp.float32) * v
+        rn = float(jnp.sqrt(jnp.sum(jnp.square(r))))
+        assert rn < 5e-3 * max(lam, 1.0), (lam, rn)
+
+
+def _solver_layout_to_full(b_pk):
+    """packed solver layout [2par, 2ri, 4, 3, T, Z, S] -> complex full."""
+    from tpuqcd.fields import eo_to_full
+    from tpuqcd.ops.layout import spinor_from_device
+    c = jax.lax.complex(b_pk[:, 0], b_pk[:, 1])
+    return eo_to_full(spinor_from_device(c, LAT), LAT)
+
+
+def _full_to_solver_layout(v):
+    from tpuqcd.fields import full_to_eo
+    from tpuqcd.ops.layout import spinor_to_device
+    dev = spinor_to_device(full_to_eo(v, LAT), LAT)
+    return jnp.stack([jnp.real(dev), jnp.imag(dev)],
+                     axis=1).astype(jnp.float32)
+
+
+def _rand_orthonormal_basis(n):
+    rng = np.random.default_rng(7)
+    vs = rng.normal(size=(n, LAT.volume * 12)) \
+        + 1j * rng.normal(size=(n, LAT.volume * 12))
+    q, _ = np.linalg.qr(vs.T)
+    return [jnp.asarray(q[:, i].reshape(*LAT.full_shape, 4, 3)
+                        .astype(np.complex64)) for i in range(n)]
+
+
+def _dense_solve_ddag(su_inv):
+    g5 = np.real(np.diag(GAMMA5))
+
+    def solve_ddag(b):
+        gb = b * jnp.asarray(g5, b.dtype)[:, None]
+        x = su_inv @ np.asarray(gb.astype(jnp.complex128)).reshape(-1)
+        x = jnp.asarray(x.reshape(*LAT.full_shape, 4, 3)
+                        .astype(np.complex64))
+        return x * jnp.asarray(g5, x.dtype)[:, None]
+
+    return solve_ddag
+
+
+def test_oneend_lowmode_exact_matches_dense():
+    """ADVICE r1 fix: the exact low-mode one-end part computed by
+    oneend_lowmode_exact must equal the dense expectation removed by
+    deflating the noise with an ARBITRARY orthonormal basis:
+
+      E[deflated] = 4ik mu tr(W (M_d^dag)^{-1} Q M_d^{-1}),  Q = 1-VV^dag
+      exact part  = E[full] - E[deflated] = sum_i w_i^dag W w_i,
+                    w_i = (M_d^dag)^{-1} v_i,
+
+    so stochastic + exact parts are unbiased by construction."""
+    from tpuqcd.phys.loops import oneend_lowmode_exact
+    u, dense = _setup()
+    su_inv = np.linalg.inv(dense["u"])
+    md = dense["d"]
+    evecs = _rand_orthonormal_basis(3)
+    V = np.stack([np.asarray(v.astype(jnp.complex128)).reshape(-1)
+                  for v in evecs], axis=1)           # [N, 3]
+    Q = np.eye(V.shape[0]) - V @ V.conj().T
+    mdinvdag = np.linalg.inv(md.conj().T)
+    a_defl = mdinvdag @ Q @ np.linalg.inv(md)        # (Mdag)^-1 Q M^-1
+    a_full = mdinvdag @ np.linalg.inv(md)
+    g5_12 = np.kron(np.diag(np.real(np.diag(GAMMA5))), np.eye(3))
+    pref = 4j * KAPPA * MU
+
+    # dense removed piece per timeslice for O = g5: W = (g5 g5) = 1
+    o12 = g5_12 @ g5_12
+    def tslice_tr(a):
+        return pref * np.einsum("ij,vji->v", o12, _site_diag(a)).reshape(
+            LAT.Lt, -1).sum(axis=1)
+    want_low = tslice_tr(a_full) - tslice_tr(a_defl)
+
+    low, _ = oneend_lowmode_exact(evecs, _dense_solve_ddag(su_inv),
+                                  {"g5": GAMMA5}, LAT, MOM, KAPPA, MU)
+    np.testing.assert_allclose(np.asarray(low["g5"])[0], want_low,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_oneend_driver_host_vs_pk():
+    """The unified per-noise drivers (dilution x deflation x one-end,
+    host complex vs packed device layouts) agree exactly on the SAME
+    injected noise."""
+    from tpuqcd.phys.loops import (make_deflate, oneend_estimate_for_noise)
+    from tpuqcd.phys.loops_dev import (make_deflate_pk,
+                                       oneend_estimate_for_noise_pk)
+    u, dense = _setup()
+    su_inv = np.linalg.inv(dense["u"])
+    solve_ddag = _dense_solve_ddag(su_inv)
+
+    def solve_ddag_batch(b_pks):
+        out = []
+        for i in range(b_pks.shape[0]):
+            b = _solver_layout_to_full(b_pks[i])
+            out.append(_full_to_solver_layout(solve_ddag(b)))
+        return jnp.stack(out)
+
+    eta = z4_noise(jax.random.PRNGKey(11), LAT)
+    eta_pk = _full_to_solver_layout(eta)
+    evecs = _rand_orthonormal_basis(2)
+    evecs_pk = jnp.stack([_full_to_solver_layout(v) for v in evecs])
+    gammas = {"g5": GAMMA5, "one": ID4}
+
+    kw = dict(dilute_t=2, dilute_sc=True)
+    est_h, der_h = oneend_estimate_for_noise(
+        eta, solve_ddag, gammas, LAT, MOM, KAPPA, MU,
+        u_full=u, derivs=True, deflate_fn=make_deflate(evecs), **kw)
+    # packed gauge for the derivative insertions
+    from tpuqcd.fields import gauge_full_to_eo
+    from tpuqcd.ops.layout import gauge_to_device
+    from tpuqcd.utils.packed import pack_gauge
+    u_pk = pack_gauge(gauge_to_device(gauge_full_to_eo(u, LAT), LAT))
+    est_d, der_d = oneend_estimate_for_noise_pk(
+        eta_pk, solve_ddag_batch, gammas, LAT, MOM, KAPPA, MU,
+        u_pk=u_pk.astype(jnp.float32), derivs=True,
+        deflate_fn=make_deflate_pk(evecs_pk), **kw)
+    for k in est_h:
+        np.testing.assert_allclose(np.asarray(est_d[k]),
+                                   np.asarray(est_h[k]), rtol=2e-3,
+                                   atol=2e-4)
+    for k in der_h:
+        np.testing.assert_allclose(np.asarray(der_d[k]),
+                                   np.asarray(der_h[k]), rtol=2e-3,
+                                   atol=2e-4)
+
+
 def test_lanczos_vs_dense_and_deflation():
     """Lanczos lowest eigenpairs of M^dag M == dense eigh; deflated guess
     removes the low-mode residual components; low-mode loops match the

@@ -132,6 +132,17 @@ def make_solver(cfg, lat, u_pk, u_full):
 
     sloppy = (jnp.bfloat16 if cfg.solver.sloppy_dtype == "bfloat16"
               else jnp.float32)
+    csw = float(getattr(cfg.action, "csw", 0.0) or 0.0)
+    rhs_batch = max(1, int(getattr(cfg.solver, "rhs_batch", 1)))
+
+    def _chunked_batch(solve_chunk_fn, b_pks, flavor):
+        """Drive solve_chunk_fn(b [k, 2par, 2ri, ...]) -> x over
+        rhs_batch-sized chunks of the leading axis."""
+        n = b_pks.shape[0]
+        outs = []
+        for lo in range(0, n, rhs_batch):
+            outs.append(solve_chunk_fn(b_pks[lo:lo + rhs_batch], flavor))
+        return jnp.concatenate(outs, axis=0)
 
     if cfg.mg.enabled:
         # device-resident MG (mg/dsolve.py): setup, V-cycles, and the f64
@@ -190,13 +201,36 @@ def make_solver(cfg, lat, u_pk, u_full):
                 c = jax.lax.complex(x64[:, 0], x64[:, 1])
                 return eo_to_full(spinor_from_device(c, lat), lat)
 
+        def solve_pk_src_batch(b_pks, flavor=+1):
+            """batched multi-RHS MG solve over chunks of rhs_batch
+            columns (SURVEY.md §8.4): b_pks [n, 2par, 2ri, 4, 3, T, Z,
+            S] -> x f32 same layout."""
+            from ..solve import solve_tm_mg_batch
+
+            def chunk(bs, fl):
+                bs = jax.device_put(bs, accel())
+                res = solve_tm_mg_batch(mgs[fl], bs, tol=cfg.solver.tol,
+                                        inner_tol=cfg.solver.inner_tol)
+                log.info("  mg batch solve (%d rhs): max relres=%.2e "
+                         "iters=%d", bs.shape[0],
+                         float(np.max(res.relres)), int(res.iters))
+                return res.x.astype(jnp.float32)
+
+            return _chunked_batch(chunk, b_pks, flavor)
+
         solve.packed = lambda b_full, flavor=+1: \
             solve_pk(b_full, flavor).x.astype(jnp.float32)
         solve.packed_src = lambda b_pk, flavor=+1: \
             solve_pk_src(b_pk, flavor).x.astype(jnp.float32)
+        solve.packed_src_batch = solve_pk_src_batch
         return solve
 
     if cfg.solver.solver == "eigcg":
+        if csw != 0.0:
+            raise NotImplementedError(
+                "solver: eigcg runs on the plain twisted-mass operator "
+                "only; with action.csw != 0 use mg.enabled or "
+                "solver: cg/bicgstab (which honor the clover term)")
         # incremental eigCG: one stateful solver per flavor; the
         # deflation space grows across the 12-column propagator solves
         from ..solve import EigCGSolver
@@ -234,18 +268,34 @@ def make_solver(cfg, lat, u_pk, u_full):
 
         solve.packed = solve_pk
         solve.packed_src = solve_pk_src
+        # eigCG thrives on the SEQUENCE (the deflation space grows per
+        # column), so the batch entry just loops
+        solve.packed_src_batch = lambda b_pks, flavor=+1: jnp.stack(
+            [solve_pk_src(b_pks[i], flavor)
+             for i in range(b_pks.shape[0])])
         return solve
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(2,))
-    def _solve_jit(u_pk_, b_pk, flavor):
+    # one-time clover construction shared by every solve (ADVICE r1:
+    # action.csw must reach the non-MG mixed-precision path too, or the
+    # f64 certification certifies the WRONG operator)
+    clover = None
+    if csw != 0.0:
+        from ..solve import make_clover_fields
+        clover = make_clover_fields(u_pk, lat, kappa=cfg.action.kappa,
+                                    mu=cfg.action.mu, csw=csw)
+        clover = jax.device_put(clover, accel())
+
+    @partial(jax.jit, static_argnums=(3,))
+    def _solve_jit(u_pk_, clover_, b_pk, flavor):
         res = solve_tm(u_pk_, b_pk, lat, kappa=cfg.action.kappa,
                        mu=cfg.action.mu, flavor=flavor,
                        tol=cfg.solver.tol, maxiter=cfg.solver.maxiter,
                        inner_tol=cfg.solver.inner_tol,
                        solver=cfg.solver.solver, sloppy_dtype=sloppy,
-                       backend=cfg.solver.backend)
+                       backend=cfg.solver.backend, csw=csw,
+                       clover=clover_)
         # return PACKED (f32 pairs): full-layout complex outputs cannot
         # materialize on the axon TPU backend (small trailing dims)
         return res.x.astype(jnp.float32), res.relres, res.iters
@@ -254,7 +304,7 @@ def make_solver(cfg, lat, u_pk, u_full):
 
     def solve_pk_src(b_pk, flavor=+1):
         b_pk = jax.device_put(b_pk, accel())
-        x_pk, relres, iters = _solve_jit(u_pk, b_pk, int(flavor))
+        x_pk, relres, iters = _solve_jit(u_pk, clover, b_pk, int(flavor))
         log.info("  solve: relres=%.2e iters=%d", float(relres),
                  int(iters))
         return x_pk
@@ -269,6 +319,34 @@ def make_solver(cfg, lat, u_pk, u_full):
         with jax.default_device(cpu):
             return packed_to_full(jax.device_put(x_pk, cpu), lat)
 
+    @partial(jax.jit, static_argnums=(3,))
+    def _solve_jit_b(u_pk_, clover_, b_pks, flavor):
+        from ..solve import solve_tm_batch
+        res = solve_tm_batch(u_pk_, b_pks, lat, kappa=cfg.action.kappa,
+                             mu=cfg.action.mu, flavor=flavor,
+                             tol=cfg.solver.tol,
+                             maxiter=cfg.solver.maxiter,
+                             inner_tol=cfg.solver.inner_tol,
+                             solver=cfg.solver.solver,
+                             sloppy_dtype=sloppy,
+                             backend=cfg.solver.backend, csw=csw,
+                             clover=clover_)
+        return res.x.astype(jnp.float32), res.relres, res.iters
+
+    def solve_pk_src_batch(b_pks, flavor=+1):
+        """vmapped multi-RHS mixed-precision solve (one iteration
+        stream for all columns; SURVEY.md §8.4)."""
+        def chunk(bs, fl):
+            bs = jax.device_put(bs, accel())
+            x, relres, iters = _solve_jit_b(u_pk, clover, bs, int(fl))
+            log.info("  batch solve (%d rhs): max relres=%.2e iters<=%d",
+                     bs.shape[0], float(jnp.max(relres)),
+                     int(jnp.max(iters)))
+            return x
+
+        return _chunked_batch(chunk, b_pks, flavor)
+
     solve.packed = solve_pk
     solve.packed_src = solve_pk_src
+    solve.packed_src_batch = solve_pk_src_batch
     return solve

@@ -26,54 +26,55 @@ def main():
         jax.random.normal(kr, (*lat.full_shape, 4, 3), dtype=jnp.float32),
         jax.random.normal(ki, (*lat.full_shape, 4, 3), dtype=jnp.float32))
 
+    from ..phys.propagator import full_to_packed
+    from ..solve import full_system_relres
+    csw = float(getattr(cfg.action, "csw", 0.0) or 0.0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        b_pk_host = full_to_packed(b, lat)
+
     prof = Profile()
     if cfg.mg.enabled:
         with prof.phase("solve"):
-            x = solve(b)
+            x = solve(b)                  # complex128 (f64 end-to-end)
             jax.block_until_ready(x)
         t = prof.times["solve"]
-        from ..operators import TMOperator
-        m = TMOperator(lat, kappa=cfg.action.kappa, mu=cfg.action.mu)
-        u128 = u_full.astype(jnp.complex128)
-        r = b.astype(jnp.complex128) - m.apply(u128,
-                                               x.astype(jnp.complex128))
-        rel = float(jnp.sqrt(norm2(r) / norm2(b)))
+        # independent full-system check against the csw-aware operator
+        with jax.default_device(cpu):
+            x_pk_host = full_to_packed(x, lat)
+        rel = full_system_relres(
+            jax.device_put(u_pk, cpu), b_pk_host, x_pk_host, lat,
+            kappa=cfg.action.kappa, mu=cfg.action.mu, csw=csw)
     else:
         # direct packed path: keep the f64 iterate end-to-end so the
         # certified tolerance survives the final residual check (works on
         # TPU too — packed f64, no complex128)
-        from ..phys.propagator import full_to_packed
-        from ..solve import solve_tm
-        from ..ops.dslash_xla import dslash_eo_dev_ri
-        from ..operators import twist_apply_pk
+        from ..solve import make_clover_fields, solve_tm
         from .common import accel
-        b_pk = jax.device_put(full_to_packed(b, lat), accel())
+        b_pk = jax.device_put(b_pk_host, accel())
         sloppy = (jnp.bfloat16 if cfg.solver.sloppy_dtype == "bfloat16"
                   else jnp.float32)
+        clover = (make_clover_fields(u_pk, lat, kappa=cfg.action.kappa,
+                                     mu=cfg.action.mu, csw=csw)
+                  if csw != 0.0 else None)
         with prof.phase("solve"):
             res = solve_tm(u_pk, b_pk, lat, kappa=cfg.action.kappa,
                            mu=cfg.action.mu, tol=cfg.solver.tol,
                            maxiter=cfg.solver.maxiter,
                            inner_tol=cfg.solver.inner_tol,
                            solver=cfg.solver.solver, sloppy_dtype=sloppy,
-                           backend=cfg.solver.backend)
+                           backend=cfg.solver.backend, csw=csw,
+                           clover=clover)
             jax.block_until_ready(res.x)
         t = prof.times["solve"]
         log.info("solver: relres=%.2e iters=%d", float(res.relres),
                  int(res.iters))
         prof.add_flops("solve", solve_flops(lat, int(res.iters)))
-        # full-system residual in packed f64
-        k = cfg.action.kappa
-        u64 = u_pk.astype(jnp.float64)
-        b64 = b_pk.astype(jnp.float64)
-        x64 = res.x
-        re_ = twist_apply_pk(x64[0], k, cfg.action.mu) - \
-            k * dslash_eo_dev_ri(u64, x64[1], 1, lat)
-        ro_ = twist_apply_pk(x64[1], k, cfg.action.mu) - \
-            k * dslash_eo_dev_ri(u64, x64[0], 0, lat)
-        num = norm2(b64[0] - re_) + norm2(b64[1] - ro_)
-        den = norm2(b64[0]) + norm2(b64[1])
-        rel = float(jnp.sqrt(num / den))
+        # full-system residual in packed f64, csw-aware operator
+        rel = full_system_relres(
+            u_pk, b_pk, res.x, lat, kappa=cfg.action.kappa,
+            mu=cfg.action.mu, csw=csw,
+            clover_pk=(clover[0] if clover is not None else None))
     gf = prof.flops["solve"] / t / 1e9 if prof.flops["solve"] else 0.0
     log.info("wallclock %.3f s (%.1f GFLOP/s), certified |r|/|b| = %.3e",
              t, gf, rel)

@@ -1,181 +1,309 @@
 """Disconnected-loop production run (config 5 disconnected part).
 
 The CalcMG_loops_w_oneD_TSM equivalent ([U]
-programs/CalcMG_loops_w_oneD_TSM_MG.cpp; SURVEY.md §4.5): optional
-Lanczos deflation -> Z4 noise vectors -> (deflated / truncated) solves ->
-one-end + plain loop estimators for the 16 ultra-local insertions ->
-HDF5.
+programs/CalcMG_loops_w_oneD_TSM_MG.cpp; SURVEY.md §4.5), with the full
+estimator structure composable in ONE run:
+
+  one-end (d-u)  x  one-derivative insertions  x  time / spin-color
+  dilution  x  TSM (cheap truncated solves + bias correction)  x  exact
+  low-mode deflation
+
+On an accelerator everything runs on packed device fields: packed-real
+Lanczos (solvers/lanczos.lanczos_lowest_pk) for the deflation basis,
+multi-RHS batched solves for the dilution classes, streaming device
+contractions (phys/loops_dev.py).  The deflated stochastic estimate plus
+the EXACT low-mode one-end part (w_i = (M_d^dag)^{-1} v_i solves) sum to
+the unbiased full loop — see phys/loops_dev.oneend_lowmode_exact_pk.
 
     python -m tpuqcd.cli.run_loops --config examples/loops.yaml
+
+Datasets written: loops/oneend (+ _der), and with n_deflate > 0 the
+exact complements loops/oneend_lowmode (+ _der).
 """
 from __future__ import annotations
 
 import numpy as np
 
-from .common import log, make_solver, parse_args, setup_gauge
+from .common import accel, log, make_solver, parse_args, setup_gauge
 
 
 def main():
+    import os
+
     import jax
-    import jax.numpy as jnp
-    from ..gammas import GAMMA5, INSERTION_GAMMAS
+    from ..gammas import GAMMA5
     from ..io.hdf5io import write_loops
-    from ..phys.loops import loops_stochastic, loops_tsm
-    from ..operators import TMOperator
 
     cfg, args = parse_args(__doc__)
+    csw = float(getattr(cfg.action, "csw", 0.0) or 0.0)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     solve = make_solver(cfg, lat, u_pk, u_full)
     momenta = np.asarray(cfg.physics.momenta)
     g5d = np.real(np.diag(GAMMA5))
+    ka, mu_ = cfg.action.kappa, cfg.action.mu
+    ph = cfg.physics
 
-    def solve_u(b):
-        return solve(b, flavor=+1)
+    acc = accel()
+    use_dev = (acc.platform != "cpu"
+               or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
+    if csw != 0.0 and not use_dev:
+        raise NotImplementedError(
+            "run_loops with action.csw != 0 needs the device estimator "
+            "path (the host complex-layout operator is plain TM); run "
+            "on an accelerator or set TPUQCD_DEVICE_CONTRACT=1")
+
+    keys = list(jax.random.split(jax.random.PRNGKey(17), ph.n_noise))
+    keys_cheap = (list(jax.random.split(jax.random.PRNGKey(23),
+                                        ph.tsm_cheap))
+                  if ph.tsm_cheap > 0 else [])
+
+    meta = {"n_noise": ph.n_noise, "kappa": ka, "mu": mu_,
+            "tsm_cheap": ph.tsm_cheap, "n_deflate": ph.n_deflate,
+            "dilute_t": ph.dilute_t,
+            "dilute_sc": int(bool(ph.dilute_sc))}
+
+    if use_dev:
+        est, est_der, low, low_der = _run_device(
+            cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d, csw)
+    else:
+        est, est_der, low, low_der = _run_host(
+            cfg, lat, u_full, u_pk, solve, keys, keys_cheap, momenta,
+            g5d)
+
+    names = list(est.keys())
+    write_loops(ph.output, "loops/oneend",
+                np.stack([np.asarray(est[k]) for k in names]), names,
+                meta=meta)
+    if est_der is not None:
+        dnames = list(est_der.keys())
+        write_loops(ph.output, "loops/oneend_der",
+                    np.stack([np.asarray(est_der[k]) for k in dnames]),
+                    dnames, meta=meta)
+    if low is not None:
+        write_loops(ph.output, "loops/oneend_lowmode",
+                    np.stack([np.asarray(low[k]) for k in names]), names,
+                    meta=meta)
+        if low_der is not None:
+            dnames = list(low_der.keys())
+            write_loops(ph.output, "loops/oneend_lowmode_der",
+                        np.stack([np.asarray(low_der[k])
+                                  for k in dnames]), dnames, meta=meta)
+    log.info("wrote loops -> %s", ph.output)
+
+
+def _tsm_combine(a, b_full, b_cheap):
+    """E[full] = E_cheap[trunc] + E_corr[full - trunc] per dataset."""
+    if a is None:
+        return None
+    return {k: a[k] + (b_full[k] - b_cheap[k]) for k in a}
+
+
+def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
+                csw):
+    """All-device estimator path: packed noise/dilution/deflation,
+    batched multi-RHS solves, streaming contractions."""
+    import jax
+    import jax.numpy as jnp
+    from ..gammas import INSERTION_GAMMAS
+    from ..phys.loops_dev import (make_deflate_pk, oneend_lowmode_exact_pk,
+                                  stochastic_oneend_pk)
+    ph = cfg.physics
+    ka, mu_ = cfg.action.kappa, cfg.action.mu
+    g5pk = jnp.asarray(g5d, jnp.float32)[:, None, None, None, None]
+    u_acc = jax.device_put(u_pk, accel())
+
+    def solve_ddag_batch(b_pks):
+        """psi = (M_d^dag)^{-1} b = g5 M_u^{-1} g5 b, batched."""
+        xs = solve.packed_src_batch(b_pks * g5pk, flavor=+1)
+        return xs * g5pk
+
+    # TSM cheap solves: truncated tolerance/iterations, same structure
+    cheap_batch = None
+    if ph.tsm_cheap > 0:
+        from ..solve import make_clover_fields, solve_tm_batch
+        clover = (make_clover_fields(u_acc, lat, kappa=ka, mu=mu_,
+                                     csw=csw) if csw != 0.0 else None)
+
+        @jax.jit
+        def _cheap_jit(u_pk_, clover_, b_pks):
+            res = solve_tm_batch(
+                u_pk_, b_pks, lat, kappa=ka, mu=mu_, flavor=+1,
+                tol=ph.tsm_tol, maxiter=ph.tsm_maxiter_cheap,
+                inner_tol=max(ph.tsm_tol, 1e-3),
+                solver=cfg.solver.solver
+                if cfg.solver.solver != "eigcg" else "cg",
+                backend=cfg.solver.backend, csw=csw, clover=clover_)
+            return res.x.astype(jnp.float32)
+
+        def cheap_batch(b_pks):
+            x = _cheap_jit(u_acc, clover, b_pks * g5pk)
+            return x * g5pk
+
+    # deflation basis: packed-real Lanczos on A = M_d M_d^dag (C27)
+    deflate_fn = None
+    evecs_solver = None
+    if ph.n_deflate > 0:
+        from ..mg.device import DeviceFineCloverLevel, DeviceFineLevel
+        from ..solvers.lanczos import lanczos_lowest_pk
+        u32 = u_acc.astype(jnp.float32)
+        if csw != 0.0:
+            from ..ops.clover import clover_blocks
+            from ..utils.packed import pack_clover, unpack_gauge
+            a = clover_blocks(unpack_gauge(u32), lat, ka, csw)
+            cl_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+            lv_p = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
+                                         csw=csw, flavor=+1,
+                                         backend=cfg.solver.backend)
+            lv_m = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
+                                         csw=csw, flavor=-1,
+                                         backend=cfg.solver.backend)
+        else:
+            lv_p = DeviceFineLevel(lat, u32, ka, mu_, +1,
+                                   backend=cfg.solver.backend)
+            lv_m = DeviceFineLevel(lat, u32, ka, mu_, -1,
+                                   backend=cfg.solver.backend)
+        g5mg = jnp.asarray(g5d, jnp.float32).reshape(1, 1, 4, 1, 1, 1, 1)
+
+        @jax.jit
+        def apply_mmdag(v):        # MG layout [2ri, 2par, 4, 3, T, Z, S]
+            return lv_m.apply(g5mg * lv_p.apply(g5mg * v))
+
+        log.info("packed Lanczos deflation: %d modes", ph.n_deflate)
+        v0 = jax.random.normal(
+            jax.random.PRNGKey(9),
+            (2, 2, 4, 3, lat.Lt, lat.Lz, lat.Ly * lat.Lx // 2),
+            jnp.float32)
+        _evals, evecs = lanczos_lowest_pk(
+            apply_mmdag, v0, ph.n_deflate,
+            n_iter=max(40, 3 * ph.n_deflate))
+        evecs_solver = jnp.swapaxes(evecs, 1, 2)   # -> [n, 2par, 2ri, ..]
+        deflate_fn = make_deflate_pk(evecs_solver)
+        log.info("deflation basis ready (lowest Ritz value %.3e)",
+                 float(_evals[0]))
+
+    kw = dict(u_pk=u_acc, derivs=True, dilute_t=ph.dilute_t,
+              dilute_sc=bool(ph.dilute_sc), deflate_fn=deflate_fn)
+    if keys_cheap:
+        log.info("TSM: %d cheap + %d correction noises", len(keys_cheap),
+                 len(keys))
+        est_c, der_c = stochastic_oneend_pk(
+            keys_cheap, cheap_batch, INSERTION_GAMMAS, lat, momenta, ka,
+            mu_, **kw)
+        est_f, der_f = stochastic_oneend_pk(
+            keys, solve_ddag_batch, INSERTION_GAMMAS, lat, momenta, ka,
+            mu_, **kw)
+        est_fc, der_fc = stochastic_oneend_pk(
+            keys, cheap_batch, INSERTION_GAMMAS, lat, momenta, ka, mu_,
+            **kw)
+        est = _tsm_combine(est_c, est_f, est_fc)
+        est_der = _tsm_combine(der_c, der_f, der_fc)
+    else:
+        est, est_der = stochastic_oneend_pk(
+            keys, solve_ddag_batch, INSERTION_GAMMAS, lat, momenta, ka,
+            mu_, **kw)
+
+    low = low_der = None
+    if evecs_solver is not None:
+        log.info("exact low-mode one-end part (%d production solves)",
+                 int(evecs_solver.shape[0]))
+        low, low_der = oneend_lowmode_exact_pk(
+            evecs_solver, solve_ddag_batch, INSERTION_GAMMAS, lat,
+            momenta, ka, mu_, u_pk=u_acc, derivs=True)
+    return est, est_der, low, low_der
+
+
+def _run_host(cfg, lat, u_full, u_pk, solve, keys, keys_cheap, momenta,
+              g5d):
+    """Host complex-layout path (CPU oracle of _run_device)."""
+    import jax
+    import jax.numpy as jnp
+    from ..gammas import INSERTION_GAMMAS
+    from ..phys.loops import (make_deflate, oneend_lowmode_exact,
+                              stochastic_oneend)
+    ph = cfg.physics
+    ka, mu_ = cfg.action.kappa, cfg.action.mu
 
     def solve_ddag(b):
         gb = b * jnp.asarray(g5d, b.dtype)[:, None]
-        x = solve_u(gb)
+        x = solve(gb, flavor=+1)
         return x * jnp.asarray(g5d, x.dtype)[:, None]
 
-    # optional deflation of the solves (exact low-mode part separately)
-    low = None
-    if cfg.physics.n_deflate > 0:
+    cheap_solve = None
+    if ph.tsm_cheap > 0:
+        from ..phys.propagator import full_to_packed, packed_to_full
+        from ..solve import solve_tm
+
+        def cheap_solve(b):
+            gb = b * jnp.asarray(g5d, b.dtype)[:, None]
+            b_pk = full_to_packed(gb, lat)
+            res = solve_tm(u_pk, b_pk, lat, kappa=ka, mu=mu_, flavor=+1,
+                           tol=ph.tsm_tol, maxiter=ph.tsm_maxiter_cheap,
+                           inner_tol=max(ph.tsm_tol, 1e-3),
+                           backend=cfg.solver.backend)
+            x = packed_to_full(res.x.astype(jnp.float32), lat)
+            return x * jnp.asarray(g5d, x.dtype)[:, None]
+
+    deflate_fn = None
+    evecs = None
+    if ph.n_deflate > 0:
+        from ..operators import TMOperator
         from ..solvers.lanczos import lanczos_lowest
-        from ..phys.loops import loop_lowmode
-        m_d = TMOperator(lat, kappa=cfg.action.kappa, mu=cfg.action.mu,
-                         flavor=-1)
+        m_d = TMOperator(lat, kappa=ka, mu=mu_, flavor=-1)
 
         def apply_mmdag(v):
             sc = v.reshape(*lat.full_shape, 4, 3)
             w = m_d.apply_dagger(u_full, sc)
             return m_d.apply(u_full, w).reshape(v.shape)
 
-        log.info("Lanczos deflation: %d modes", cfg.physics.n_deflate)
-        v0 = jax.random.normal(jax.random.PRNGKey(9),
-                               (*lat.full_shape, 4, 3)).astype(jnp.complex64)
-        evals, evecs = lanczos_lowest(
-            apply_mmdag, v0, cfg.physics.n_deflate,
-            n_iter=max(40, 3 * cfg.physics.n_deflate))
+        log.info("Lanczos deflation: %d modes", ph.n_deflate)
+        v0 = jax.random.normal(
+            jax.random.PRNGKey(9),
+            (*lat.full_shape, 4, 3)).astype(jnp.complex64)
+        _evals, evecs = lanczos_lowest(
+            apply_mmdag, v0, ph.n_deflate,
+            n_iter=max(40, 3 * ph.n_deflate))
         evecs = [v.reshape(*lat.full_shape, 4, 3) for v in evecs]
-
-        def apply_mdag(v):
-            return m_d.apply_dagger(u_full, v)
-
-        low = loop_lowmode(evals, evecs, apply_mdag, INSERTION_GAMMAS,
-                           lat, momenta)
-        log.info("exact low-mode loop part done")
-
-        # deflate the stochastic sources: project the captured (M M^dag)
-        # low modes out of each noise vector — their loop contribution is
-        # the exact `low` part above; the stochastic estimator then only
-        # carries the (far lower-variance) high-mode remainder
-        # (reference 4.5 "deflate: project out low modes from source")
+        # orthonormalize (Ritz vectors are near- but not exactly
+        # orthonormal; exact deflation needs V^dag V = I)
         from ..utils.cplx import cvdot
+        on = []
+        for v in evecs:
+            for u in on:
+                v = v - cvdot(u, v) * u
+            v = v / jnp.sqrt(cvdot(v, v).real)
+            on.append(v)
+        evecs = on
+        deflate_fn = make_deflate(evecs)
 
-        def deflate_src(eta):
-            for v in evecs:
-                eta = eta - cvdot(v, eta) * v
-            return eta
+    kw = dict(u_full=u_full, derivs=True, dilute_t=ph.dilute_t,
+              dilute_sc=bool(ph.dilute_sc), deflate_fn=deflate_fn)
+    if keys_cheap:
+        log.info("TSM: %d cheap + %d correction noises", len(keys_cheap),
+                 len(keys))
+        est_c, der_c = stochastic_oneend(
+            keys_cheap, cheap_solve, INSERTION_GAMMAS, lat, momenta, ka,
+            mu_, **kw)
+        est_f, der_f = stochastic_oneend(
+            keys, solve_ddag, INSERTION_GAMMAS, lat, momenta, ka, mu_,
+            **kw)
+        est_fc, der_fc = stochastic_oneend(
+            keys, cheap_solve, INSERTION_GAMMAS, lat, momenta, ka, mu_,
+            **kw)
+        est = _tsm_combine(est_c, est_f, est_fc)
+        est_der = _tsm_combine(der_c, der_f, der_fc)
     else:
-        deflate_src = None
+        est, est_der = stochastic_oneend(
+            keys, solve_ddag, INSERTION_GAMMAS, lat, momenta, ka, mu_,
+            **kw)
 
-    keys = list(jax.random.split(jax.random.PRNGKey(17),
-                                 cfg.physics.n_noise))
-    if cfg.physics.tsm_cheap > 0:
-        # TSM: cheap truncated solves + bias correction
-        from ..phys.propagator import full_to_packed, packed_to_full
-        from ..solve import solve_tm
-
-        def solve_cheap(b):
-            b_pk = full_to_packed(b, lat)
-            res = solve_tm(u_pk, b_pk, lat, kappa=cfg.action.kappa,
-                           mu=cfg.action.mu, tol=1e-3,
-                           maxiter=cfg.physics.tsm_maxiter_cheap,
-                           backend=cfg.solver.backend)
-            return packed_to_full(res.x.astype(jnp.float32), lat)
-
-        keys_cheap = list(jax.random.split(
-            jax.random.PRNGKey(23), cfg.physics.tsm_cheap))
-        est = loops_tsm(solve_cheap, solve_u, keys_cheap, keys,
-                        INSERTION_GAMMAS, lat, momenta)
-        est_der = None
-    else:
-        from .common import accel
-        import os
-        acc = accel()
-        use_dev = (acc.platform != "cpu"
-                   or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
-        if deflate_src is not None and use_dev:
-            # deflated sources live in the full complex layout (the
-            # Lanczos eigenvectors); route the estimator through the
-            # host contraction path in that case
-            use_dev = False
-        ka, m_ = cfg.action.kappa, cfg.action.mu
-
-        def _acc_into(tot, est):
-            if tot is None:
-                return est
-            return {k: tot[k] + est[k] for k in tot}
-
-        # ultra-local AND one-derivative estimates from the SAME psi
-        # per noise (the reference's `_w_One_Der_` program structure)
-        est = None
-        est_der = None
-        if use_dev:
-            # all-device path: packed noise, packed solves, streaming
-            # contraction + momentum projection (phys/loops_dev.py)
-            from ..phys.loops_dev import (loop_one_end_der_pk,
-                                          loop_one_end_pk, z4_noise_pk)
-            g5pk = jnp.asarray(g5d, jnp.float32)[:, None, None, None, None]
-            u_acc = jax.device_put(u_pk, acc)
-            for key in keys:
-                eta = z4_noise_pk(key, lat)
-                psi = solve.packed_src(eta * g5pk, flavor=+1) * g5pk
-                est = _acc_into(est, loop_one_end_pk(
-                    psi, INSERTION_GAMMAS, lat, momenta, ka, m_))
-                der = {}
-                for nu in range(4):
-                    d = loop_one_end_der_pk(psi, u_acc, INSERTION_GAMMAS,
-                                            nu, lat, momenta, ka, m_)
-                    der.update({f"{k}_D{nu}": v for k, v in d.items()})
-                est_der = _acc_into(est_der, der)
-        else:
-            from ..phys.loops import (loop_one_end, loop_one_end_der,
-                                      z4_noise)
-            for key in keys:
-                eta = z4_noise(key, lat)
-                if deflate_src is not None:
-                    # exact in expectation for the plain estimator;
-                    # the standard ETMC variance reduction when combined
-                    # with the one-end trick
-                    eta = deflate_src(eta)
-                psi = solve_ddag(eta)
-                est = _acc_into(est, loop_one_end(
-                    psi, INSERTION_GAMMAS, lat, momenta, ka, m_))
-                der = {}
-                for nu in range(4):
-                    d = loop_one_end_der(psi, u_full, INSERTION_GAMMAS,
-                                         nu, lat, momenta, ka, m_)
-                    der.update({f"{k}_D{nu}": v for k, v in d.items()})
-                est_der = _acc_into(est_der, der)
-        n = len(keys)
-        est = {k: v / n for k, v in est.items()}
-        est_der = {k: v / n for k, v in est_der.items()}
-
-    names = list(est.keys())
-    arr = np.stack([np.asarray(est[k]) for k in names])
-    write_loops(cfg.physics.output, "loops/oneend", arr, names,
-                meta={"n_noise": cfg.physics.n_noise,
-                      "kappa": cfg.action.kappa, "mu": cfg.action.mu})
-    if est_der is not None:
-        dnames = list(est_der.keys())
-        write_loops(cfg.physics.output, "loops/oneend_der",
-                    np.stack([np.asarray(est_der[k]) for k in dnames]),
-                    dnames)
-    if low is not None:
-        arr_low = np.stack([np.asarray(low[k]) for k in names])
-        write_loops(cfg.physics.output, "loops/lowmode", arr_low, names)
-    log.info("wrote loops -> %s", cfg.physics.output)
+    low = low_der = None
+    if evecs is not None:
+        log.info("exact low-mode one-end part (%d production solves)",
+                 len(evecs))
+        low, low_der = oneend_lowmode_exact(
+            evecs, solve_ddag, INSERTION_GAMMAS, lat, momenta, ka, mu_,
+            u_full=u_full, derivs=True)
+    return est, est_der, low, low_der
 
 
 if __name__ == "__main__":

@@ -35,13 +35,16 @@ def _forward_props_host(cfg, lat, solve, srcs):
 
 
 def _forward_props_dev(cfg, lat, solve, srcs):
-    from ..phys.propagator import assemble_propagator_pk
+    import jax
+    from ..phys.propagator import assemble_propagator_pk, packed_sources
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        b_pks = packed_sources(srcs, lat)
     props = {}
     for name, flavor in (("u", +1), ("d", -1)):
-        log.info(" forward props flavor %s (device)", name)
-        cols = [solve.packed(srcs[s, c], flavor=flavor)
-                for s in range(4) for c in range(3)]
-        props[name] = assemble_propagator_pk(cols)
+        log.info(" forward props flavor %s (device, batched rhs)", name)
+        xs = solve.packed_src_batch(b_pks, flavor=flavor)
+        props[name] = assemble_propagator_pk([xs[i] for i in range(12)])
     return props
 
 
@@ -104,7 +107,8 @@ def main():
                             props["u"], props["d"], t_sink, leg, lat,
                             proj=projs[pname])
                         bwd = backward_prop_pk(
-                            seq, lambda b: solve.packed_src(b, flavor=flip))
+                            seq, solve_batch_fn=lambda bs:
+                            solve.packed_src_batch(bs, flavor=flip))
                         c3 = threep_ultralocal_pk(
                             bwd, props[leg], INSERTION_GAMMAS, lat,
                             momenta, src_pos=tuple(src))

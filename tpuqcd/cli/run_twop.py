@@ -53,24 +53,29 @@ def main():
                                  cfg.physics.smear_alpha_gauss,
                                  cfg.physics.smear_n_gauss)
         props = {}
+        if use_dev:
+            from ..phys.propagator import packed_sources
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                b_pks = packed_sources(srcs, lat)
         for name, flavor in (("u", +1), ("d", -1)):
-            log.info(" forward props flavor %s", name)
-            cols = []
-            for s in range(4):
-                for c in range(3):
-                    if use_dev:
-                        x = solve.packed(srcs[s, c], flavor=flavor)
-                        if cfg.physics.smear_n_gauss > 0:
-                            x = sink_smear_packed(
-                                u_sm_acc, x, lat,
-                                cfg.physics.smear_alpha_gauss,
-                                cfg.physics.smear_n_gauss)
-                    else:
-                        x = solve(srcs[s, c], flavor=flavor)
-                    cols.append(x)
+            log.info(" forward props flavor %s%s", name,
+                     " (batched rhs)" if use_dev else "")
             if use_dev:
+                xs = solve.packed_src_batch(b_pks, flavor=flavor)
+                cols = []
+                for i in range(12):
+                    x = xs[i]
+                    if cfg.physics.smear_n_gauss > 0:
+                        x = sink_smear_packed(
+                            u_sm_acc, x, lat,
+                            cfg.physics.smear_alpha_gauss,
+                            cfg.physics.smear_n_gauss)
+                    cols.append(x)
                 props[name] = assemble_propagator_pk(cols)
             else:
+                cols = [solve(srcs[s, c], flavor=flavor)
+                        for s in range(4) for c in range(3)]
                 cols = jnp.stack(cols).reshape(4, 3, *lat.full_shape, 4, 3)
                 props[name] = jnp.transpose(cols, (2, 3, 4, 5, 6, 7, 0, 1))
         if not use_dev and cfg.physics.smear_n_gauss > 0:
@@ -97,7 +102,8 @@ def main():
                          src_pos=tuple(src), proj=proj)
             write_twop(cfg.physics.output,
                        f"twop/neutron/{pname}/{tag}", np.asarray(c2n),
-                       momenta, src)
+                       momenta, src, meta={"kappa": cfg.action.kappa,
+                                           "mu": cfg.action.mu})
         cpi = meson(props["u"], props["u"], GAMMA5, lat, momenta,
                     src_pos=tuple(src))
         write_twop(cfg.physics.output, f"twop/pion/{tag}",

@@ -36,9 +36,9 @@ from .device import (DeviceCoarseLevel, DeviceCoarseTransfer,
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["u_ext"],
+         data_fields=["u_ext", "clover_pk"],
          meta_fields=["lat", "lmesh", "kappa", "mu", "flavor", "backend",
-                      "block_z", "interpret"])
+                      "block_z", "interpret", "csw"])
 @dataclasses.dataclass
 class ShardedFineLevel:
     """DeviceFineLevel twin whose applies run PER-SHARD kernels under
@@ -55,7 +55,7 @@ class ShardedFineLevel:
     static per configuration, exchanged once here.
     """
     lat: Lattice
-    lmesh: object                 # parallel.mesh.LatticeMesh (t-only)
+    lmesh: object                 # parallel.mesh.LatticeMesh (t, z)
     u_ext: jax.Array
     kappa: float
     mu: float = 0.0
@@ -63,37 +63,58 @@ class ShardedFineLevel:
     backend: str = "pallas"
     block_z: int | None = None
     interpret: bool = False
+    #: packed clover A blocks [2par, 2ri, 2chir, 6, 6, T, Z, S] sharded
+    #: over (t, z): site-local, so the twisted-CLOVER fine level needs no
+    #: extra halo machinery — the hop term stays clover-free (the
+    #: reference's dirac_twisted_clover full-operator split [U])
+    clover_pk: jax.Array | None = None
+    csw: float = 0.0
 
     @staticmethod
     def build(lat, lmesh, u_pk, kappa, mu=0.0, flavor=+1,
-              backend="pallas", block_z=None, interpret=False):
+              backend="pallas", block_z=None, interpret=False,
+              clover_pk=None, csw=0.0):
         """u_pk: packed full-link gauge [4,2,3,3,2,T,Z,S] (unsharded or
-        sharded); exchanges the static gauge halo once."""
-        assert lmesh.nz == 1, "ShardedFineLevel shards T only"
+        sharded); exchanges the static gauge halo once (T slice; plus a
+        one-row Z slab for the overlap engine's backward-leg z repairs
+        when the mesh shards Z).  clover_pk (packed A blocks, both
+        parities) + csw give the twisted-clover fine level."""
         u_sh = lmesh.shard_gauge(u_pk)
 
         def fn(u_loc):
             from ..parallel.sharded import _exchange_gauge
-            return _exchange_gauge(u_loc, lmesh.nt, 1, None)
+            return _exchange_gauge(u_loc, lmesh.nt, lmesh.nz,
+                                   1 if lmesh.nz > 1 else None)
 
         spec = lmesh.gauge_spec()
         u_ext = jax.jit(jax.shard_map(
             fn, mesh=lmesh.mesh, in_specs=(spec,), out_specs=spec,
             check_vma=False))(u_sh)
+        if clover_pk is not None:
+            clover_pk = jax.device_put(
+                clover_pk, NamedSharding(lmesh.mesh, P(
+                    None, None, None, None, None, "t", "z", None)))
         return ShardedFineLevel(lat=lat, lmesh=lmesh, u_ext=u_ext,
                                 kappa=kappa, mu=mu, flavor=flavor,
                                 backend=backend, block_z=block_z,
-                                interpret=interpret)
+                                interpret=interpret, clover_pk=clover_pk,
+                                csw=csw)
 
     @property
     def n(self) -> int:
         return 12
 
+    def _clover_spec(self):
+        return P(None, None, None, None, None, "t", "z", None)
+
     def _smap(self, fn, n_in):
         m = self.lmesh
         sp = P(None, *m.spinor_spec())          # [2ri, 2par, 4,3,T,Z,S]
+        cl = ((self._clover_spec(),) if self.clover_pk is not None
+              else ())
         return jax.shard_map(fn, mesh=m.mesh,
-                             in_specs=(m.gauge_spec(),) + (sp,) * n_in,
+                             in_specs=(m.gauge_spec(),) + cl
+                             + (sp,) * n_in,
                              out_specs=sp, check_vma=False)
 
     def _hops(self, u_ext_loc, v_loc, dagger, dirs=None):
@@ -111,56 +132,82 @@ class ShardedFineLevel:
                             backend=self.backend, dirs=dirs)
         return jnp.stack([de, do], axis=1)
 
+    def _site(self, cl_l, v_l):
+        """Site term on a shard: (A +) 1 + i tw g5, both parities."""
+        from ..mg.device import _itwg5_pk
+        tw = 2.0 * self.kappa * self.mu * self.flavor
+        if cl_l is None:
+            return jnp.stack([v_l[:, par] + _itwg5_pk(v_l[:, par], tw)
+                              for par in range(2)], axis=1)
+        from ..ops.clover import clover_apply_pk
+        return jnp.stack(
+            [clover_apply_pk(cl_l[par].astype(v_l.dtype), v_l[:, par])
+             + _itwg5_pk(v_l[:, par], tw) for par in range(2)], axis=1)
+
     def apply(self, v: jax.Array) -> jax.Array:
-        """M v = (1 + 2 i kappa mu f g5) v - kappa D v.
+        """M v = (A + 2 i kappa mu f g5) v - kappa D v  (A = 1 plain TM,
+        the clover blocks when clover_pk is set).
 
         Traced-only entry (like every DeviceMG level method): call it
         under jit — eager shard_map dispatches each unrolled op
         separately (see tests/test_overlap.py note)."""
-        from ..mg.device import _itwg5_pk
 
-        def fn(u_l, v_l):
+        def fn(u_l, *rest):
+            cl_l, v_l = (rest if self.clover_pk is not None
+                         else (None, rest[0]))
             d = self._hops(u_l, v_l, dagger=False)
-            tw = 2.0 * self.kappa * self.mu * self.flavor
             k = jnp.asarray(self.kappa, v_l.dtype)
-            # site term: v + i tw g5 v (packed twist, both parities)
-            site = jnp.stack([v_l[:, par] + _itwg5_pk(v_l[:, par], tw)
-                              for par in range(2)], axis=1)
-            return site - k * d
+            return self._site(cl_l, v_l) - k * d
 
-        return self._smap(fn, 1)(self.u_ext, v)
+        ops = ((self.u_ext, self.clover_pk, v)
+               if self.clover_pk is not None else (self.u_ext, v))
+        return self._smap(fn, 1)(*ops)
 
     def apply_hop(self, v: jax.Array, mu_: int, sign: int) -> jax.Array:
         """Single hop term of M (including the -kappa), both parities
-        (Galerkin probing path)."""
+        (Galerkin probing path — clover-free, the clover term lands in
+        the probed diagonal automatically)."""
 
-        def fn(u_l, v_l):
+        def fn(u_l, *rest):
+            v_l = rest[-1]
             d = self._hops(u_l, v_l, dagger=False,
                            dirs=((mu_, sign),))
             return jnp.asarray(-self.kappa, v_l.dtype) * d
 
-        return self._smap(fn, 1)(self.u_ext, v)
+        ops = ((self.u_ext, self.clover_pk, v)
+               if self.clover_pk is not None else (self.u_ext, v))
+        return self._smap(fn, 1)(*ops)
 
     def as_hp(self) -> "object":
         """f64 defect-correction twin: the XLA stencil on the UNextended
         gauge under GSPMD (rolls auto-partition; no shard_map needed)."""
-        from .device import DeviceFineLevel
+        from .device import DeviceFineCloverLevel, DeviceFineLevel
         Tl = self.lat.Lt // self.lmesh.nt
+        Zl = self.lat.Lz // self.lmesh.nz
         m = self.lmesh
 
         def strip(u_l):
-            # drop the per-shard gauge halo slice (extended Tl + 1)
-            return u_l[..., :Tl, :, :]
+            # drop the per-shard gauge halo slices (T + 1[, Z + 1])
+            return u_l[..., :Tl, :Zl, :]
 
         u_pk = jax.jit(jax.shard_map(
             strip, mesh=m.mesh, in_specs=(m.gauge_spec(),),
             out_specs=m.gauge_spec(), check_vma=False))(self.u_ext)
+        if self.clover_pk is not None:
+            return DeviceFineCloverLevel(self.lat, u_pk, self.clover_pk,
+                                         self.kappa, self.mu,
+                                         csw=self.csw,
+                                         flavor=self.flavor,
+                                         backend="xla")
         return DeviceFineLevel(self.lat, u_pk, self.kappa, self.mu,
                                self.flavor, backend="xla")
 
     def sloppy(self, dtype=jnp.bfloat16) -> "ShardedFineLevel":
         import dataclasses as dc
-        return dc.replace(self, u_ext=self.u_ext.astype(dtype))
+        rep = {"u_ext": self.u_ext.astype(dtype)}
+        if self.clover_pk is not None:
+            rep["clover_pk"] = self.clover_pk.astype(dtype)
+        return dc.replace(self, **rep)
 
     def random_field(self, key) -> jax.Array:
         shape = (2, 2, 4, 3, self.lat.Lt, self.lat.Lz,

@@ -453,14 +453,6 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     Zb = block_z
     assert Z % Zb == 0
     nzb = Z // Zb
-    # Scoped-VMEM limit: JUST enough headroom over the estimated block
-    # footprint.  Mosaic treats the limit as an allocation target — a
-    # blanket 100 MB limit measured 594 GF/s where a tight 17 MB limit
-    # measured 837 GF/s on the same kernel (32^3x64, Zb=8, v5e) — so the
-    # limit scales with the actual footprint instead of a fixed cap.
-    per_row = 700 * S * max(psi_pk.dtype.itemsize, 4)
-    vmem_limit = max(17 * 2**20, int(1.5 * per_row * Zb) + 4 * 2**20)
-
     spinor_block = (2, 4, 3, 1, Zb, S)
 
     if halo_t:
@@ -546,6 +538,21 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         operands.append(psi0_pk)
     out_spec = pl.BlockSpec(spinor_block, lambda t, zb: (0, 0, 0, t, zb, 0),
                             memory_space=pltpu.VMEM)
+
+    # Scoped-VMEM limit: JUST enough headroom over the block footprint.
+    # Mosaic treats the limit as an allocation target — a blanket 100 MB
+    # limit measured 594 GF/s where a tight 17 MB limit measured 837 GF/s
+    # on the same kernel (32^3x64, Zb=8, v5e) — so derive the limit from
+    # the ACTUAL operand block shapes (clover epilogues carry 2x2x6x6
+    # planes + psi0 that a plain-dslash constant would miss): sum of
+    # in/out block bytes, x2 pipeline double-buffering, x1.5 for
+    # in-kernel f32 intermediates, + fixed headroom.
+    block_bytes = sum(
+        int(np.prod(sp.block_shape)) * max(op.dtype.itemsize, 4)
+        for sp, op in zip(in_specs, operands))
+    block_bytes += int(np.prod(spinor_block)) * max(psi_pk.dtype.itemsize,
+                                                    4)
+    vmem_limit = max(17 * 2**20, 3 * block_bytes + 4 * 2**20)
 
     z_blocked = (Zb < Z) or halo_z
     kern = functools.partial(

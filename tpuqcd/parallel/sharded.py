@@ -202,3 +202,167 @@ class ShardedTMOperatorPC:
 
         x_o = self._smap(fn, 2)(u_ext, x_e, b_pk[1])
         return jnp.stack([x_e, x_o], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedTMCloverOperatorPC:
+    """Even-odd preconditioned twisted-CLOVER operator over a
+    LatticeMesh (the multi-chip config-2/production operator; reference
+    `dirac_twisted_clover.cpp` *PC classes under MPI decomposition [U],
+    SURVEY.md C4/C10/C13).
+
+    Mirrors operators.PackedTMCloverOperatorPC; clover data is
+    site-local so it shards over (t, z) with NO halo machinery — only
+    the hop term exchanges faces.  Operand tuple (built by
+    :meth:`extend_fields`):
+
+        fields = (u_ext,            gauge with t/z halo slabs appended
+                  cl_pk,            [2par, 2ri, 2chir, 6, 6, T, Z, S]
+                  clinv_o_plus,     [2ri, 2chir, 6, 6, T, Z, S]
+                  clinv_o_minus)
+
+    overlap=True routes the hops through the interior/exterior split
+    engine with the clover site terms applied as elementwise passes.
+    """
+    lat: Lattice
+    lmesh: LatticeMesh
+    kappa: float
+    mu: float = 0.0
+    csw: float = 1.0
+    flavor: int = +1
+    backend: str = "pallas"
+    block_z: int | None = None
+    interpret: bool = False
+    overlap: bool = False
+
+    def _tm(self) -> ShardedTMOperatorPC:
+        """Hop-engine twin (shares _dslash_local/_zb plumbing)."""
+        return ShardedTMOperatorPC(
+            self.lat, self.lmesh, self.kappa, self.mu, self.flavor,
+            self.backend, self.block_z, self.interpret, self.overlap)
+
+    def extend_fields(self, u_pk, cl_pk, clinv_p, clinv_m):
+        """Shard the clover arrays and exchange the gauge halo once."""
+        m = self.lmesh
+        u_ext = self._tm().extend_gauge(m.shard_gauge(u_pk))
+        cl_spec = P(None, None, None, None, None, "t", "z", None)
+        ci_spec = P(None, None, None, None, "t", "z", None)
+        put = jax.device_put
+        return (u_ext,
+                put(cl_pk, jax.NamedSharding(m.mesh, cl_spec)),
+                put(clinv_p, jax.NamedSharding(m.mesh, ci_spec)),
+                put(clinv_m, jax.NamedSharding(m.mesh, ci_spec)))
+
+    def _clinv(self, fields, f):
+        return fields[2] if f == +1 else fields[3]
+
+    #: specs for the (cl_pk, clinv) operands
+    @property
+    def _cl_specs(self):
+        return [P(None, None, None, None, None, "t", "z", None),
+                P(None, None, None, None, "t", "z", None)]
+
+    def _dslash_clover_local(self, tm, u_l, psi_l, parity, dagger,
+                             epilogue, f, cl_l=None, psi0_l=None):
+        """Hop + fused clover epilogue on one shard."""
+        from ..ops.clover import clover_apply_pk
+        from ..ops.dslash_pallas import dslash_eo_pallas
+        from ..operators import _itwg5_packed
+        m = self.lmesh
+        Tl, Zl = m.local_dims
+        Zb = tm._zb()
+        if self.overlap:
+            from .overlap import dslash_overlap
+            d = dslash_overlap(u_l, psi_l, parity, self.lat, m, dagger,
+                               block_z=Zb, interpret=self.interpret,
+                               backend=self.backend)
+            k = jnp.asarray(self.kappa, d.dtype)
+            if epilogue == "clover_inv":
+                return clover_apply_pk(cl_l.astype(d.dtype), d)
+            if epilogue == "clover_xpay":
+                tw = 2.0 * self.kappa * self.mu * f
+                site = clover_apply_pk(cl_l.astype(psi0_l.dtype),
+                                       psi0_l) + _itwg5_packed(psi0_l, tw)
+                return site - (k * k) * d
+            assert epilogue == "none", epilogue
+            return d
+        from .sharded import _exchange_t, _exchange_z
+        psi_ext = _exchange_t(psi_l, m.nt)
+        psi_ext = _exchange_z(psi_ext, m.nz, Zb)
+        return dslash_eo_pallas(
+            u_l, psi_ext, parity, self.lat, dagger=dagger,
+            epilogue=epilogue, kappa=self.kappa, mu=self.mu, flavor=f,
+            clover_pk=cl_l, psi0_pk=psi0_l, block_z=Zb,
+            interpret=self.interpret, local_dims=(Tl, Zl), halo_t=True,
+            halo_z=True)
+
+    def _apply(self, fields, psi_pk, dagger):
+        tm = self._tm()
+        f = self.flavor if not dagger else -self.flavor
+        clinv = self._clinv(fields, f)
+
+        def fn(u_l, cl_l, ci_l, psi_l):
+            t = self._dslash_clover_local(tm, u_l, psi_l, EVEN, dagger,
+                                          "clover_inv", f, cl_l=ci_l)
+            return self._dslash_clover_local(tm, u_l, t, ODD, dagger,
+                                             "clover_xpay", f,
+                                             cl_l=cl_l[EVEN],
+                                             psi0_l=psi_l)
+
+        m = self.lmesh
+        specs = (m.gauge_spec(), self._cl_specs[0], self._cl_specs[1],
+                 m.spinor_spec())
+        return jax.shard_map(fn, mesh=m.mesh, in_specs=specs,
+                             out_specs=m.spinor_spec(),
+                             check_vma=False)(
+            fields[0], fields[1], clinv, psi_pk)
+
+    def apply(self, fields, psi_pk):
+        return self._apply(fields, psi_pk, dagger=False)
+
+    def apply_dagger(self, fields, psi_pk):
+        return self._apply(fields, psi_pk, dagger=True)
+
+    def normal(self, fields, psi_pk):
+        return self.apply_dagger(fields, self.apply(fields, psi_pk))
+
+    def prepare(self, fields, b_pk):
+        """bhat_e = b_e + k D_eo Atw_oo^{-1} b_o."""
+        from ..ops.clover import clover_apply_pk
+        tm = self._tm()
+        clinv = self._clinv(fields, self.flavor)
+
+        def fn(u_l, ci_l, be_l, bo_l):
+            t = clover_apply_pk(ci_l.astype(bo_l.dtype), bo_l)
+            d = self._dslash_clover_local(tm, u_l, t, ODD, False,
+                                          "none", self.flavor)
+            return be_l + jnp.asarray(self.kappa, be_l.dtype) * d
+
+        m = self.lmesh
+        specs = (m.gauge_spec(), self._cl_specs[1], m.spinor_spec(),
+                 m.spinor_spec())
+        return jax.shard_map(fn, mesh=m.mesh, in_specs=specs,
+                             out_specs=m.spinor_spec(),
+                             check_vma=False)(
+            fields[0], clinv, b_pk[0], b_pk[1])
+
+    def reconstruct(self, fields, x_e, b_pk):
+        """x_o = Atw_oo^{-1} (b_o + k D_oe x_e)."""
+        from ..ops.clover import clover_apply_pk
+        tm = self._tm()
+        clinv = self._clinv(fields, self.flavor)
+
+        def fn(u_l, ci_l, xe_l, bo_l):
+            d = self._dslash_clover_local(tm, u_l, xe_l, EVEN, False,
+                                          "none", self.flavor)
+            t = bo_l + jnp.asarray(self.kappa, xe_l.dtype) * d
+            return clover_apply_pk(ci_l.astype(t.dtype), t)
+
+        m = self.lmesh
+        specs = (m.gauge_spec(), self._cl_specs[1], m.spinor_spec(),
+                 m.spinor_spec())
+        x_o = jax.shard_map(fn, mesh=m.mesh, in_specs=specs,
+                            out_specs=m.spinor_spec(),
+                            check_vma=False)(
+            fields[0], clinv, x_e, b_pk[1])
+        return jnp.stack([x_e, x_o], axis=0)

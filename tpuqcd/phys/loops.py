@@ -159,6 +159,112 @@ def loops_tsm(solve_cheap: Callable, solve_full: Callable, keys_cheap,
     return {k: cheap[k] + (corr_full[k] - corr_cheap[k]) for k in cheap}
 
 
+def _acc(tot, est):
+    if est is None:
+        return tot
+    if tot is None:
+        return dict(est)
+    return {k: tot[k] + est[k] for k in tot}
+
+
+def diluted_sources(eta: jax.Array, dilute_t: int = 1,
+                    dilute_sc: bool = False) -> list:
+    """Complete dilution partition of one full-layout noise vector
+    (host oracle of loops_dev.diluted_sources_pk; SURVEY.md C26)."""
+    parts = ([dilute_time(eta, tc, dilute_t) for tc in range(dilute_t)]
+             if dilute_t > 1 else [eta])
+    if not dilute_sc:
+        return parts
+    return [dilute_spin_color(e, s, c)
+            for e in parts for s in range(4) for c in range(3)]
+
+
+def make_deflate(evecs) -> Callable:
+    """Q = 1 - V V^dag on full-layout complex fields ({v_i} orthonormal;
+    host oracle of loops_dev.make_deflate_pk)."""
+    from ..utils.cplx import cvdot
+
+    def deflate(eta):
+        for v in evecs:
+            eta = eta - cvdot(v, eta) * v
+        return eta
+
+    return deflate
+
+
+def _oneend_single(psi, gammas, lat, momenta, kappa, mu, u_full, derivs):
+    est = loop_one_end(psi, gammas, lat, momenta, kappa, mu)
+    der = None
+    if derivs:
+        der = {}
+        for nu in range(4):
+            d = loop_one_end_der(psi, u_full, gammas, nu, lat, momenta,
+                                 kappa, mu)
+            der.update({f"{k}_D{nu}": v for k, v in d.items()})
+    return est, der
+
+
+def oneend_estimate_for_noise(eta, solve_ddag: Callable, gammas: dict,
+                              lat: Lattice, momenta: np.ndarray,
+                              kappa: float, mu: float, *, u_full=None,
+                              derivs: bool = False, dilute_t: int = 1,
+                              dilute_sc: bool = False,
+                              deflate_fn: Callable | None = None):
+    """One-end (+ one-derivative) estimate for ONE explicit noise
+    vector: dilution partition -> optional deflation -> solves ->
+    per-class estimates summed.  The injectable core of
+    stochastic_oneend (tests drive exact basis vectors through it)."""
+    srcs = diluted_sources(eta, dilute_t, dilute_sc)
+    if deflate_fn is not None:
+        srcs = [deflate_fn(s) for s in srcs]
+    est = der = None
+    for s in srcs:
+        psi = solve_ddag(s)
+        e, d = _oneend_single(psi, gammas, lat, momenta, kappa, mu,
+                              u_full, derivs)
+        est, der = _acc(est, e), _acc(der, d)
+    return est, der
+
+
+def stochastic_oneend(keys, solve_ddag: Callable, gammas: dict,
+                      lat: Lattice, momenta: np.ndarray, kappa: float,
+                      mu: float, *, u_full=None, derivs: bool = False,
+                      dilute_t: int = 1, dilute_sc: bool = False,
+                      deflate_fn: Callable | None = None):
+    """Host oracle of loops_dev.stochastic_oneend_pk: diluted,
+    optionally deflated one-end (+ one-derivative) estimates, summed
+    over dilution classes and averaged over noises."""
+    acc = acc_der = None
+    for key in keys:
+        est, der = oneend_estimate_for_noise(
+            z4_noise(key, lat), solve_ddag, gammas, lat, momenta, kappa,
+            mu, u_full=u_full, derivs=derivs, dilute_t=dilute_t,
+            dilute_sc=dilute_sc, deflate_fn=deflate_fn)
+        acc, acc_der = _acc(acc, est), _acc(acc_der, der)
+    n = len(keys)
+    avg = {k: v / n for k, v in acc.items()}
+    avg_der = ({k: v / n for k, v in acc_der.items()}
+               if acc_der is not None else None)
+    return avg, avg_der
+
+
+def oneend_lowmode_exact(evecs, solve_ddag: Callable, gammas: dict,
+                         lat: Lattice, momenta: np.ndarray, kappa: float,
+                         mu: float, *, u_full=None,
+                         derivs: bool = False):
+    """Host oracle of loops_dev.oneend_lowmode_exact_pk: the exact
+    low-mode one-end part sum_i 4 i kappa mu w_i^dag O g5 w_i with
+    w_i = (M_d^dag)^{-1} v_i (see the _pk docstring for the unbiasedness
+    argument)."""
+    est = der = None
+    for v in evecs:
+        w = solve_ddag(v)
+        e, d = _oneend_single(w, gammas, lat, momenta, kappa, mu,
+                              u_full, derivs)
+        est, der = _acc(est, e), _acc(der, d)
+    return est, der
+
+
 def loop_lowmode(evals: np.ndarray, evecs: jax.Array, apply_dag: Callable,
                  gammas: dict, lat: Lattice, momenta: np.ndarray) -> dict:
     """Exact low-mode loop part from eigenpairs of (M M^dag):

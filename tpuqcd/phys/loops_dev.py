@@ -170,6 +170,150 @@ def loops_stochastic_pk(solve_fn_pk: Callable, keys, gammas: dict,
     return {k: v / n for k, v in acc.items()}
 
 
+def _acc(tot, est):
+    if est is None:
+        return tot
+    if tot is None:
+        return dict(est)
+    return {k: tot[k] + est[k] for k in tot}
+
+
+def diluted_sources_pk(eta_pk: jax.Array, dilute_t: int = 1,
+                       dilute_sc: bool = False) -> list:
+    """Complete dilution partition of one noise vector (the reference's
+    time/spin/color dilution, SURVEY.md C26 / §4.5): dilute_t time
+    classes x optional full spin-color dilution (12 classes).  The
+    projectors P_a satisfy sum_a P_a = 1, so summing the per-class
+    estimates keeps the estimator unbiased while killing the
+    off-diagonal noise within each class."""
+    parts = ([dilute_time_pk(eta_pk, tc, dilute_t)
+              for tc in range(dilute_t)] if dilute_t > 1 else [eta_pk])
+    if not dilute_sc:
+        return parts
+    return [dilute_spin_color_pk(e, s, c)
+            for e in parts for s in range(4) for c in range(3)]
+
+
+def make_deflate_pk(evecs: jax.Array) -> Callable:
+    """Deflation projector Q = 1 - V V^dag on packed solver-layout
+    fields [2(par), 2(ri), 4, 3, T, Z, S] (reference §4.5 "deflate:
+    project out low modes from source").  evecs: orthonormal stack
+    [n, 2par, 2ri, ...] (solvers/lanczos.lanczos_lowest_pk output,
+    par/ri axes swapped into the solver layout)."""
+    n = evecs.shape[0]
+    Vr = evecs[:, :, 0].reshape(n, -1)
+    Vi = evecs[:, :, 1].reshape(n, -1)
+
+    @jax.jit
+    def deflate(eta_pk):
+        er = eta_pk[:, 0].reshape(-1)
+        ei = eta_pk[:, 1].reshape(-1)
+        cr = Vr @ er + Vi @ ei                      # Re<v_i, eta>
+        ci = Vr @ ei - Vi @ er
+        dr = (cr @ Vr - ci @ Vi).reshape(eta_pk[:, 0].shape)
+        di = (cr @ Vi + ci @ Vr).reshape(eta_pk[:, 0].shape)
+        return eta_pk - jnp.stack([dr, di], axis=1)
+
+    return deflate
+
+
+def _oneend_single_pk(psi_pk, gammas, lat, momenta, kappa, mu, u_pk,
+                      derivs):
+    """(est, der) of one psi = (M_d^dag)^{-1} source: ultra-local
+    one-end + optional all-4-direction one-derivative insertions."""
+    est = loop_one_end_pk(psi_pk, gammas, lat, momenta, kappa, mu)
+    der = None
+    if derivs:
+        der = {}
+        for nu in range(4):
+            d = loop_one_end_der_pk(psi_pk, u_pk, gammas, nu, lat,
+                                    momenta, kappa, mu)
+            der.update({f"{k}_D{nu}": v for k, v in d.items()})
+    return est, der
+
+
+def oneend_estimate_for_noise_pk(eta_pk, solve_ddag_batch: Callable,
+                                 gammas: dict, lat: Lattice,
+                                 momenta: np.ndarray, kappa: float,
+                                 mu: float, *, u_pk=None,
+                                 derivs: bool = False, dilute_t: int = 1,
+                                 dilute_sc: bool = False,
+                                 deflate_fn: Callable | None = None):
+    """One-end (+ one-derivative) estimate for ONE explicit packed
+    noise: dilution partition -> optional deflation -> one multi-RHS
+    batch solve -> per-class estimates summed (the injectable core of
+    stochastic_oneend_pk)."""
+    srcs = diluted_sources_pk(eta_pk, dilute_t, dilute_sc)
+    if deflate_fn is not None:
+        srcs = [deflate_fn(s) for s in srcs]
+    psis = solve_ddag_batch(jnp.stack(srcs))
+    est = der = None
+    for i in range(psis.shape[0]):
+        e, d = _oneend_single_pk(psis[i], gammas, lat, momenta, kappa,
+                                 mu, u_pk, derivs)
+        est, der = _acc(est, e), _acc(der, d)
+    return est, der
+
+
+def stochastic_oneend_pk(keys, solve_ddag_batch: Callable, gammas: dict,
+                         lat: Lattice, momenta: np.ndarray, kappa: float,
+                         mu: float, *, u_pk=None, derivs: bool = False,
+                         dilute_t: int = 1, dilute_sc: bool = False,
+                         deflate_fn: Callable | None = None):
+    """Unified stochastic one-end driver (the estimator core of the
+    reference `calcMG_loops_w_oneD_TSM` [U], SURVEY.md §4.5): for each
+    noise, the complete dilution partition is (optionally) deflated and
+    solved as ONE multi-RHS batch; per-class one-end (+ one-derivative)
+    estimates are summed over classes and averaged over noises.
+
+    solve_ddag_batch(b_pks [n, 2par, 2ri, 4, 3, T, Z, S]) must return
+    psi = (M_d^dag)^{-1} b per row (= g5 M_u^{-1} g5 b).
+    Returns (est, der_or_None): {name: complex [n_mom, T]}.
+    """
+    acc = acc_der = None
+    for key in keys:
+        est, der = oneend_estimate_for_noise_pk(
+            z4_noise_pk(key, lat), solve_ddag_batch, gammas, lat,
+            momenta, kappa, mu, u_pk=u_pk, derivs=derivs,
+            dilute_t=dilute_t, dilute_sc=dilute_sc,
+            deflate_fn=deflate_fn)
+        acc, acc_der = _acc(acc, est), _acc(acc_der, der)
+    n = len(keys)
+    avg = {k: v / n for k, v in acc.items()}
+    avg_der = ({k: v / n for k, v in acc_der.items()}
+               if acc_der is not None else None)
+    return avg, avg_der
+
+
+def oneend_lowmode_exact_pk(evecs: jax.Array,
+                            solve_ddag_batch: Callable, gammas: dict,
+                            lat: Lattice, momenta: np.ndarray,
+                            kappa: float, mu: float, *, u_pk=None,
+                            derivs: bool = False):
+    """EXACT low-mode part of the ONE-END estimator for the deflation
+    basis {v_i} (ADVICE r1 fix): with w_i = (M_d^dag)^{-1} v_i solved to
+    production tolerance, the piece removed from the deflated stochastic
+    estimator is exactly
+
+        sum_i 4 i kappa mu sum_x e^{-iq.x} w_i^dag(x) O g5 w_i(x)
+
+    so stochastic + exact parts sum to the unbiased full loop.  This
+    holds for ANY orthonormal {v_i} (only orthonormality and solver
+    tolerance enter — not eigen-exactness: E[eta eta^dag] = 1 and
+    Q = 1 - V V^dag give
+    tr(W (M^dag)^{-1} Q M^{-1}) = tr(W (M M^dag)^{-1}) - sum_i w_i^dag
+    W w_i).  evecs: [n, 2par, 2ri, ...] solver layout, orthonormal.
+    Returns (est, der_or_None) — a SUM over modes, not an average.
+    """
+    ws = solve_ddag_batch(evecs)
+    est = der = None
+    for i in range(ws.shape[0]):
+        e, d = _oneend_single_pk(ws[i], gammas, lat, momenta, kappa, mu,
+                                 u_pk, derivs)
+        est, der = _acc(est, e), _acc(der, d)
+    return est, der
+
+
 def loop_lowmode_pk(evals: np.ndarray, evecs_pk, apply_dag_pk: Callable,
                     gammas: dict, lat: Lattice,
                     momenta: np.ndarray) -> dict:

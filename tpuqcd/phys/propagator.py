@@ -49,6 +49,14 @@ def point_sources(lat: Lattice, pos: tuple[int, int, int, int],
     return jnp.asarray(src, dtype=dtype)
 
 
+def packed_sources(sources: jax.Array, lat: Lattice) -> jax.Array:
+    """12 full-layout sources [4, 3, T, Z, Y, X, 4, 3] -> stacked packed
+    batch [12, 2(par), 2(ri), 4, 3, T, Z, S] (source-major s*3+c order;
+    the multi-RHS solver input)."""
+    return jnp.stack([full_to_packed(sources[s, c], lat)
+                      for s in range(4) for c in range(3)])
+
+
 def smear_sources(u_smear_pk_or_dev, sources: jax.Array, lat: Lattice,
                   alpha: float, n_steps: int) -> jax.Array:
     """Gaussian-smear each of the 12 sources (u = APE-smeared gauge in
@@ -75,19 +83,21 @@ def compute_propagator(u_pk: jax.Array, sources: jax.Array, lat: Lattice, *,
     Returns S [T, Z, Y, X, 4, 3, 4, 3] (sink spin/color, source
     spin/color), in complex64.
     """
-    cols = []
-    for s in range(4):
-        for c in range(3):
-            b_pk = full_to_packed(sources[s, c], lat)
-            res = solve_tm(u_pk, b_pk, lat, kappa=kappa, mu=mu,
-                           flavor=flavor, tol=tol, solver=solver,
-                           backend=backend, maxiter=maxiter)
-            if verbose:
-                print(f"  prop col ({s},{c}): relres={float(res.relres):.2e}"
-                      f" iters={int(res.iters)}")
-            x_full = packed_to_full(res.x.astype(jnp.float32), lat)
-            cols.append(x_full)
-    cols = jnp.stack(cols)  # [12, T,Z,Y,X,4,3]
+    from ..solve import solve_tm_batch
+    b_pks = jnp.stack([full_to_packed(sources[s, c], lat)
+                       for s in range(4) for c in range(3)])
+    # ONE vmapped iteration stream drives all 12 columns (SURVEY.md
+    # §8.4 — the reference solved them sequentially)
+    res = solve_tm_batch(u_pk, b_pks, lat, kappa=kappa, mu=mu,
+                         flavor=flavor, tol=tol, solver=solver,
+                         backend=backend, maxiter=maxiter)
+    if verbose:
+        for i in range(12):
+            print(f"  prop col ({i // 3},{i % 3}): "
+                  f"relres={float(res.relres[i]):.2e} "
+                  f"iters={int(res.iters[i])}")
+    cols = jnp.stack([packed_to_full(res.x[i].astype(jnp.float32), lat)
+                      for i in range(12)])  # [12, T,Z,Y,X,4,3]
     prop = cols.reshape(4, 3, *cols.shape[1:])
     # -> [T,Z,Y,X, snk_s, snk_c, src_s, src_c]
     return jnp.transpose(prop, (2, 3, 4, 5, 6, 7, 0, 1))

@@ -305,29 +305,38 @@ def _seq_source_jit(lat, t_sink, flavor_leg, proj, mom, eager=False):
     return _SEQ_JIT[key]
 
 
-def backward_prop_pk(seq_pk: jax.Array, solve_fn_flip_pk,
-                     g5_diag: np.ndarray | None = None) -> jax.Array:
+def backward_prop_pk(seq_pk: jax.Array, solve_fn_flip_pk=None,
+                     g5_diag: np.ndarray | None = None,
+                     solve_batch_fn=None) -> jax.Array:
     """B from A on packed fields: 12 flavor-flipped solves on g5 conj(A)
     columns, B = conj(g5 x) (threep.backward_prop, device layout).
 
     seq_pk: packed seq source [2ri, 2par, 4, 3, 4(beta), 3(b), T, Z, S];
     solve_fn_flip_pk(b_pk [2par, 2ri, 4, 3, T, Z, S]) -> x_pk same
-    layout = M_{f'}^{-1} b.  Returns the packed backward propagator.
+    layout = M_{f'}^{-1} b.  Pass solve_batch_fn(b_pks [12, 2par, ...])
+    instead to run the 12 columns as one multi-RHS solve (SURVEY.md
+    §8.4).  Returns the packed backward propagator.
     """
     from ..gammas import GAMMA5
     g5 = np.real(np.diag(GAMMA5)) if g5_diag is None else g5_diag
     g5 = jnp.asarray(g5, dtype=seq_pk.dtype)[:, None, None, None, None]
-    cols = []
+    srcs = []
     for beta in range(4):
         for b in range(3):
             a = seq_pk[:, :, :, :, beta, b]            # [2ri,2par,4,3,T,Z,S]
             # g5 conj(A): conj = negate the im plane, then spin signs
             src = jnp.stack([a[0] * g5, -a[1] * g5])   # [2ri,2par,...]
-            src = jnp.swapaxes(src, 0, 1)              # solver layout
-            x = solve_fn_flip_pk(src)                  # [2par,2ri,4,3,T,Z,S]
-            x = jnp.swapaxes(x, 0, 1)
-            # conj(g5 x)
-            cols.append(jnp.stack([x[0] * g5, -x[1] * g5]))
+            srcs.append(jnp.swapaxes(src, 0, 1))       # solver layout
+    if solve_batch_fn is not None:
+        xs = solve_batch_fn(jnp.stack(srcs))           # [12, 2par, ...]
+        xs = [xs[i] for i in range(12)]
+    else:
+        xs = [solve_fn_flip_pk(s) for s in srcs]
+    cols = []
+    for x in xs:
+        x = jnp.swapaxes(x, 0, 1)
+        # conj(g5 x)
+        cols.append(jnp.stack([x[0] * g5, -x[1] * g5]))
     cols = jnp.stack(cols)                             # [12,2ri,2par,4,3,T,Z,S]
     cols = cols.reshape(4, 3, *cols.shape[1:])
     # -> [2ri, 2par, 4(snk s), 3, 4(beta), 3(b), T, Z, S]

@@ -142,6 +142,47 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     return SolveResult(x=x, relres=relres, iters=iters)
 
 
+def full_system_relres(u_pk: jax.Array, b_pk: jax.Array, x_pk: jax.Array,
+                       lat: Lattice, *, kappa: float, mu: float,
+                       flavor: int = +1, csw: float = 0.0,
+                       clover_pk: jax.Array | None = None) -> float:
+    """Certified f64 relative residual |b - M x| / |b| of the FULL
+    (two-parity) TM(-clover) system on packed fields
+    [2(par), 2(ri), 4, 3, T, Z, S].
+
+    The verification operator the CLI reports against (reference: the
+    final true-residual check in `interface_quda.cpp:invertQuda` [U]);
+    honors csw so a twisted-clover solve is certified against the
+    twisted-CLOVER operator, never silently the plain-TM one.
+    clover_pk: packed A blocks [2par, 2ri, 2chir, 6, 6, T, Z, S] (built
+    here from u_pk when csw != 0 and not given).
+    """
+    from .mg.device import DeviceFineCloverLevel, DeviceFineLevel
+    u32 = u_pk.astype(jnp.float32)
+    if csw != 0.0:
+        if clover_pk is None:
+            from .ops.clover import clover_blocks
+            from .utils.packed import pack_clover, unpack_gauge
+            a = clover_blocks(unpack_gauge(u32), lat, kappa, csw)
+            clover_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+        lv = DeviceFineCloverLevel(lat, u32, clover_pk, kappa, mu,
+                                   csw=csw, flavor=flavor, backend="xla")
+    else:
+        lv = DeviceFineLevel(lat, u32, kappa, mu, flavor, backend="xla")
+    b64 = jnp.swapaxes(b_pk.astype(jnp.float64), 0, 1)
+    x64 = jnp.swapaxes(x_pk.astype(jnp.float64), 0, 1)
+
+    @jax.jit
+    def rel(lvl, x, b):
+        r = b - lvl.apply(x)
+        from .utils import pkalg as pkg
+        return jnp.sqrt(pkg.norm2(r, dtype=jnp.float64) /
+                        jnp.maximum(pkg.norm2(b, dtype=jnp.float64),
+                                    1e-300))
+
+    return float(rel(lv, x64, b64))
+
+
 class EigCGSolver:
     """Stateful incremental-eigCG solver for right-hand-side SEQUENCES
     (the 12-column propagator workload; reference
@@ -262,3 +303,40 @@ def solve_tm_mg(mg, b_pk: jax.Array, *, tol: float = 1e-10,
         verbose=verbose)
     return SolveResult(x=jnp.swapaxes(x, 0, 1), relres=relres,
                        iters=iters)
+
+
+def solve_tm_mg_batch(mg, b_pks: jax.Array, *, tol: float = 1e-10,
+                      inner_tol: float = 1e-5, maxiter: int = 200,
+                      verbose: bool = False) -> SolveResult:
+    """Batched multi-RHS MG solve: the 12 propagator columns as ONE
+    vmapped GCR stream (SURVEY.md §8.4, the TPU win over the reference's
+    sequential solves; mg/dsolve.DeviceMG.solve_certified_batch).
+
+    b_pks: [n_rhs, 2(par), 2(ri), 4, 3, T, Z, S].  Returns SolveResult
+    with x [n_rhs, 2(par), ...] f64 and per-RHS certified relres.
+    """
+    b_mg = jnp.swapaxes(b_pks.astype(jnp.float32), 1, 2)
+    x, relres, iters = mg.solve_certified_batch(
+        b_mg, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+        verbose=verbose)
+    return SolveResult(x=jnp.swapaxes(x, 1, 2), relres=relres,
+                       iters=iters)
+
+
+def solve_tm_batch(u_pk: jax.Array, b_pks: jax.Array, lat: Lattice,
+                   **kw) -> SolveResult:
+    """Batched multi-RHS mixed-precision solve: vmap of solve_tm over a
+    leading RHS axis (one traced iteration stream, per-RHS scalars; the
+    inner lax.while_loops run until every column converges).
+
+    b_pks: [n_rhs, 2(par), 2(ri), 4, 3, T, Z, S]; kwargs as solve_tm.
+    """
+    clover = kw.pop("clover", None)
+    if kw.get("csw", 0.0) != 0.0 and clover is None:
+        clover = make_clover_fields(u_pk, lat, kappa=kw["kappa"],
+                                    mu=kw["mu"], csw=kw["csw"])
+
+    def one(b_pk):
+        return solve_tm(u_pk, b_pk, lat, clover=clover, **kw)
+
+    return jax.vmap(one)(b_pks)

@@ -111,6 +111,154 @@ def lanczos_lowest(apply_a: Callable, v0: jax.Array, n_ev: int, *,
     return evals, evecs
 
 
+def lanczos_lowest_pk(apply_a: Callable, v0_pk: jax.Array, n_ev: int, *,
+                      n_iter: int = 60, filter_degree: int = 0,
+                      filter_window: tuple[float, float] | None = None,
+                      reorth_passes: int = 2):
+    """Packed-real Lanczos: lowest n_ev eigenpairs of Hermitian PD A on
+    TPU-resident packed fields (the deflation workhorse of the loops
+    program; reference QKXTM_Deflation::eigenSolver around even-odd
+    Dslash applies [U], SURVEY.md C27, §4.5).
+
+    apply_a acts on a packed field ``v[0]=Re, v[1]=Im`` of v0_pk's shape
+    (any trailing layout — full-operator [2ri, 2par, 4, 3, T, Z, S] or
+    eo [2ri, 4, 3, T, Z, S]).  Unlike the complex-layout
+    ``lanczos_lowest`` this never materializes complex arrays, so it
+    runs on the axon TPU backend, and the full reorthogonalization is
+    TWO dense [k, N] matmuls per iteration (MXU work) instead of k
+    device round-trips.
+
+    The Krylov basis is re-orthonormalized to f32 machine precision, so
+    downstream EXACT deflation corrections (which only need an
+    orthonormal projector + exact solves, not exact eigenpairs) stay
+    unbiased even though single precision limits the eigen-residuals.
+
+    Returns (evals [n_ev] f64 ascending Rayleigh quotients,
+    evecs_pk [n_ev, *v0_pk.shape] f32).
+    """
+    op = apply_a
+    if filter_degree > 0:
+        assert filter_window is not None
+        c = 0.5 * (filter_window[1] + filter_window[0])
+        e = 0.5 * (filter_window[1] - filter_window[0])
+
+        def op(v):
+            # rolled Chebyshev recurrence: ONE apply_a instance in the
+            # trace regardless of degree (an unrolled degree-24 filter
+            # took ~6 min to compile on CPU; this compiles in seconds)
+            t0 = v
+            t1 = (apply_a(v) - c * v) / e
+
+            def body(_, carry):
+                tkm1, tk = carry
+                return (tk, 2.0 * (apply_a(tk) - c * tk) / e - tkm1)
+
+            _, tk = jax.lax.fori_loop(0, filter_degree - 1, body,
+                                      (t0, t1))
+            return tk
+
+    shape = v0_pk.shape
+    n_flat = v0_pk.size // 2
+
+    def flat(v):
+        return v.reshape(2, n_flat)
+
+    @jax.jit
+    def _step(V, v):
+        """One Lanczos step with full reorthogonalization against the
+        (zero-padded) stacked basis V [m, 2, N]: the two matmuls
+        C = V conj . w  and  w -= C^T V."""
+        w = flat(op(v.reshape(shape)))
+        vr, vi = v[0], v[1]
+        a = jnp.sum(vr * w[0] + vi * w[1])        # Re<v, Av>, A Hermitian
+        w = w - a * v
+        for _ in range(reorth_passes):
+            # complex coeffs c_j = <V_j, w> over the whole basis at once
+            cr = V[:, 0] @ w[0] + V[:, 1] @ w[1]          # [m]
+            ci = V[:, 0] @ w[1] - V[:, 1] @ w[0]
+            w = w - jnp.stack([cr @ V[:, 0] - ci @ V[:, 1],
+                               cr @ V[:, 1] + ci @ V[:, 0]])
+        b = jnp.sqrt(jnp.sum(jnp.square(w)))
+        return a, b, w / jnp.maximum(b, 1e-30)
+
+    v = flat(v0_pk.astype(jnp.float32))
+    v = v / jnp.sqrt(jnp.sum(jnp.square(v)))
+    V = jnp.zeros((n_iter, 2, n_flat), jnp.float32)
+    alpha, beta = [], []
+    k = 0
+    for j in range(n_iter):
+        V = V.at[j].set(v)
+        k = j + 1
+        a, b, v = _step(V, v)
+        alpha.append(float(a))
+        if float(b) < 1e-7:
+            break
+        beta.append(float(b))
+
+    tmat = np.diag(np.asarray(alpha[:k])) + \
+        np.diag(np.asarray(beta[:k - 1]), 1) + \
+        np.diag(np.asarray(beta[:k - 1]), -1)
+    w_t, s_t = np.linalg.eigh(tmat)
+
+    # Ritz vectors for the n_ev lowest (w.r.t. the filtered op they are
+    # ranked by Rayleigh quotient on the UNfiltered A below)
+    n_take = min(k, 2 * n_ev)
+    order = (np.argsort(w_t)[::-1] if filter_degree > 0
+             else np.argsort(w_t))
+    sel = np.asarray(s_t[:, order[:n_take]], np.float32)   # [k, n_take]
+
+    @jax.jit
+    def _ritz(V, s):
+        X = jnp.einsum("kc,kin->cin", s, V[:k])            # [n_take, 2, N]
+        nrm = jnp.sqrt(jnp.sum(jnp.square(X), axis=(1, 2), keepdims=True))
+        return X / jnp.maximum(nrm, 1e-30)
+
+    X = _ritz(V, jnp.asarray(sel))
+
+    @jax.jit
+    def _rayleigh(x):
+        ax = flat(apply_a(x.reshape(shape)))
+        return jnp.sum(x[0] * ax[0] + x[1] * ax[1])
+
+    pairs = sorted(((float(_rayleigh(X[i])), i) for i in range(n_take)),
+                   key=lambda p: p[0])
+    idx = [i for _, i in pairs[:n_ev]]
+    evals = np.asarray([lam for lam, _ in pairs[:n_ev]], np.float64)
+    evecs = jnp.stack([X[i].reshape(shape) for i in idx])
+    # final orthonormalization of the RETURNED set (Gram-Schmidt via QR
+    # on the [n_ev, 2N] real-imag-interleaved matrix would mix re/im;
+    # do complex Gram-Schmidt with the packed dots)
+    evecs = _orthonormalize_pk(evecs)
+    return evals, evecs
+
+
+@jax.jit
+def _orthonormalize_pk(vs: jax.Array) -> jax.Array:
+    """Complex modified Gram-Schmidt on a stack of packed fields
+    [n, 2(ri), ...] (f32): returns an orthonormal stack (deflation
+    projectors need V^dag V = I to machine precision)."""
+    n = vs.shape[0]
+    flatv = vs.reshape(n, 2, -1)
+
+    def body(i, F):
+        v = F[i]
+
+        def inner(j, v):
+            u = F[j]
+            cr = jnp.sum(u[0] * v[0] + u[1] * v[1])
+            ci = jnp.sum(u[0] * v[1] - u[1] * v[0])
+            return v - jnp.stack([cr * u[0] - ci * u[1],
+                                  cr * u[1] + ci * u[0]])
+
+        v = jax.lax.fori_loop(0, i, inner, v)
+        v = jax.lax.fori_loop(0, i, inner, v)    # second pass (stability)
+        v = v / jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(v))), 1e-30)
+        return F.at[i].set(v)
+
+    out = jax.lax.fori_loop(0, n, body, flatv)
+    return out.reshape(vs.shape)
+
+
 def deflated_initial_guess(evals, evecs, b):
     """x0 = sum_i v_i <v_i, b> / lambda_i (exact on the deflated space)."""
     x0 = jnp.zeros_like(b)

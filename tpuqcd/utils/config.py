@@ -41,6 +41,11 @@ class SolverParams:
     solver: str = "cg"                   # cg | bicgstab
     sloppy_dtype: str = "float32"        # float32 | bfloat16
     backend: str = "pallas"              # pallas | xla
+    #: propagator columns solved per batched multi-RHS call (1 =
+    #: sequential).  Memory scales ~ rhs_batch * (2 + 2*gcr_restart)
+    #: fine spinors for the MG path; 12 fits a v5e at 16^3x32 and below,
+    #: drop to 4-6 at 32^3x64.
+    rhs_batch: int = 12
 
 
 @dataclass(frozen=True)
@@ -60,7 +65,7 @@ class MGParamsCfg:
 @dataclass(frozen=True)
 class PhysicsParams:
     source_positions: tuple = ((0, 0, 0, 0),)
-    t_sinks: tuple[int, ...] = (8,)
+    t_sinks: tuple[int, ...] = ()        # required by run_threeptwop
     projectors: tuple[str, ...] = ("P+",)
     momenta: tuple = ((0, 0, 0),)
     smear_alpha_ape: float = 0.5
@@ -68,10 +73,21 @@ class PhysicsParams:
     smear_alpha_gauss: float = 4.0
     smear_n_gauss: int = 30
     n_noise: int = 12
-    tsm_cheap: int = 0                   # 0 = plain estimator
+    tsm_cheap: int = 0                   # cheap truncated solves (0 = off)
     tsm_maxiter_cheap: int = 50
+    tsm_tol: float = 1e-3                # truncated-solve tolerance
     n_deflate: int = 0
+    dilute_t: int = 1                    # time-dilution classes (1 = off)
+    dilute_sc: bool = False              # full spin-color dilution (12x)
     output: str = "results.h5"
+
+
+@dataclass(frozen=True)
+class MeshParams:
+    """Multi-chip domain decomposition (the reference's --gridsize
+    [U] SURVEY.md §6.8): lattice T (and Z) axes over the device mesh."""
+    nt: int = 1
+    nz: int = 1
 
 
 @dataclass(frozen=True)
@@ -81,6 +97,120 @@ class RunConfig:
     solver: SolverParams = field(default_factory=SolverParams)
     mg: MGParamsCfg = field(default_factory=MGParamsCfg)
     physics: PhysicsParams = field(default_factory=PhysicsParams)
+    mesh: MeshParams = field(default_factory=MeshParams)
+
+
+class ConfigError(ValueError):
+    """Raised at load time for invalid run configurations (the
+    reference's `*_invalid` param-struct validation discipline,
+    SURVEY.md §6.6): every constraint that would otherwise surface as a
+    bare assert deep inside MG/mesh setup fails HERE with an actionable
+    message, before any expensive work starts."""
+
+
+def validate_config(cfg: "RunConfig") -> None:
+    def err(msg):
+        raise ConfigError(msg)
+
+    dims = tuple(cfg.gauge.dims)
+    if len(dims) != 4:
+        err(f"gauge.dims must be 4 numbers (Lx, Ly, Lz, Lt), got {dims}")
+    if any(d <= 0 or d % 2 for d in dims):
+        err(f"gauge.dims must be positive and even (even-odd layout + "
+            f"parity masks), got {dims}")
+    lx, ly, lz, lt = dims
+
+    if cfg.solver.solver not in ("cg", "bicgstab", "eigcg"):
+        err(f"solver.solver must be cg | bicgstab | eigcg, "
+            f"got {cfg.solver.solver!r}")
+    if cfg.solver.sloppy_dtype not in ("float32", "bfloat16"):
+        err(f"solver.sloppy_dtype must be float32 | bfloat16, "
+            f"got {cfg.solver.sloppy_dtype!r}")
+    if cfg.solver.backend not in ("pallas", "xla"):
+        err(f"solver.backend must be pallas | xla, "
+            f"got {cfg.solver.backend!r}")
+    if not (0.0 < cfg.solver.tol < 1.0):
+        err(f"solver.tol must be in (0, 1), got {cfg.solver.tol}")
+    if cfg.solver.maxiter <= 0:
+        err(f"solver.maxiter must be positive, got {cfg.solver.maxiter}")
+    if cfg.solver.rhs_batch < 1:
+        err(f"solver.rhs_batch must be >= 1, got {cfg.solver.rhs_batch}")
+    if cfg.action.csw != 0.0 and cfg.solver.solver == "eigcg":
+        err("solver.solver: eigcg supports the plain twisted-mass "
+            "operator only; with action.csw != 0 use mg.enabled or "
+            "solver: cg/bicgstab")
+
+    if cfg.mg.enabled:
+        if len(cfg.mg.n_vec) != len(cfg.mg.block):
+            err(f"mg.n_vec ({len(cfg.mg.n_vec)} entries) and mg.block "
+                f"({len(cfg.mg.block)} entries) must list one entry per "
+                f"coarsening level")
+        ds = [lt, lz, ly, lx]           # (T, Z, Y, X) extents per level
+        for depth, blk in enumerate(cfg.mg.block):
+            if len(blk) != 4:
+                err(f"mg.block[{depth}] must be (bt, bz, by, bx), "
+                    f"got {blk}")
+            bt, bz, by, bx = blk
+            if depth == 0 and bx % 2:
+                err(f"mg.block[0] x-extent must be even (eo packing), "
+                    f"got bx={bx}")
+            for name, d, b in zip("tzyx", ds, blk):
+                if b <= 0 or d % b:
+                    err(f"mg.block[{depth}] {name}-extent {b} must "
+                        f"divide the level-{depth} lattice extent {d} "
+                        f"(lattice {dims}, blocks {cfg.mg.block})")
+            ds = [d // b for d, b in zip(ds, blk)]
+        if any(nv <= 0 for nv in cfg.mg.n_vec):
+            err(f"mg.n_vec entries must be positive, got {cfg.mg.n_vec}")
+
+    for pos in cfg.physics.source_positions:
+        if len(pos) != 4:
+            err(f"physics.source_positions entries must be "
+                f"(t, z, y, x), got {pos}")
+        t, z, y, x = pos
+        if not (0 <= t < lt and 0 <= z < lz and 0 <= y < ly
+                and 0 <= x < lx):
+            err(f"source position {pos} (t,z,y,x) outside lattice "
+                f"(T,Z,Y,X) = {(lt, lz, ly, lx)}")
+    for ts in cfg.physics.t_sinks:
+        if not 0 <= ts < lt:
+            err(f"physics.t_sinks entry {ts} outside 0..{lt - 1}")
+    for q in cfg.physics.momenta:
+        if len(q) != 3:
+            err(f"physics.momenta entries must be 3-vectors, got {q}")
+    for p in cfg.physics.projectors:
+        if p not in ("P+", "P-"):
+            err(f"physics.projectors entries must be P+ | P-, got {p!r}")
+    if cfg.physics.tsm_cheap < 0 or cfg.physics.n_deflate < 0 \
+            or cfg.physics.n_noise <= 0:
+        err(f"physics noise counts must be sane: n_noise "
+            f"{cfg.physics.n_noise} > 0, tsm_cheap "
+            f"{cfg.physics.tsm_cheap} >= 0, n_deflate "
+            f"{cfg.physics.n_deflate} >= 0")
+    if not 1 <= cfg.physics.dilute_t <= lt:
+        err(f"physics.dilute_t must be in 1..Lt = {lt}, "
+            f"got {cfg.physics.dilute_t}")
+
+    nt, nz = cfg.mesh.nt, cfg.mesh.nz
+    if nt < 1 or nz < 1:
+        err(f"mesh.nt/nz must be >= 1, got ({nt}, {nz})")
+    if nt > 1 or nz > 1:
+        if lt % nt or (lt // nt) % 2:
+            err(f"mesh.nt = {nt} must divide Lt = {lt} with an even "
+                f"local extent (eo parity masks are per-shard)")
+        if lz % nz or (nz > 1 and (lz // nz) % 2):
+            err(f"mesh.nz = {nz} must divide Lz = {lz} with an even "
+                f"local extent")
+        if cfg.mg.enabled:
+            bt = cfg.mg.block[0][0]
+            bz = cfg.mg.block[0][1]
+            if (lt // nt) % bt:
+                err(f"sharded MG needs the local T extent {lt // nt} "
+                    f"divisible by the t-block {bt} (aggregates must "
+                    f"stay shard-local)")
+            if nz > 1 and (lz // nz) % bz:
+                err(f"sharded MG needs the local Z extent {lz // nz} "
+                    f"divisible by the z-block {bz}")
 
 
 def _tupleize(v):
@@ -101,10 +231,13 @@ def load_config(path: str) -> RunConfig:
     assert yaml is not None, "pyyaml unavailable"
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
-    return RunConfig(
+    cfg = RunConfig(
         gauge=_build(GaugeParams, raw.get("gauge", {})),
         action=_build(ActionParams, raw.get("action", {})),
         solver=_build(SolverParams, raw.get("solver", {})),
         mg=_build(MGParamsCfg, raw.get("mg", {})),
         physics=_build(PhysicsParams, raw.get("physics", {})),
+        mesh=_build(MeshParams, raw.get("mesh", {})),
     )
+    validate_config(cfg)
+    return cfg
