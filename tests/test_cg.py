@@ -5,6 +5,7 @@ solve is correct iff |b - M x| / |b| meets the requested tolerance.
 """
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpuqcd import su3
@@ -66,6 +67,7 @@ def test_cg_refined_1e10():
     assert rel_orig < 1e-8, rel_orig
 
 
+@pytest.mark.slow
 def test_pc_solve_matches_full_solve():
     """Even-odd PC solve + reconstruct solves the full system."""
     u, b = _problem()

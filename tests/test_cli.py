@@ -68,6 +68,7 @@ def _h5_all(path):
     return vals
 
 
+@pytest.mark.slow
 def test_cli_twop_host_vs_device(monkeypatch, tmp_path):
     from tpuqcd.cli.run_twop import main
     host = _run(monkeypatch, tmp_path, main, TWOP_PHYS, "twop_h.h5")
@@ -81,6 +82,7 @@ def test_cli_twop_host_vs_device(monkeypatch, tmp_path):
                                    atol=1e-5 * max(1.0, np.abs(vh[k]).max()))
 
 
+@pytest.mark.slow
 def test_cli_threeptwop_host_vs_device(monkeypatch, tmp_path):
     from tpuqcd.cli.run_threeptwop import main
     host = _run(monkeypatch, tmp_path, main, THREEP_PHYS, "tp_h.h5")
@@ -95,6 +97,7 @@ def test_cli_threeptwop_host_vs_device(monkeypatch, tmp_path):
                                    atol=1e-4 * max(1.0, np.abs(vh[k]).max()))
 
 
+@pytest.mark.slow
 def test_cli_loops(monkeypatch, tmp_path):
     from tpuqcd.cli.run_loops import main
     out = _run(monkeypatch, tmp_path, main, LOOPS_PHYS, "loops.h5")
@@ -110,6 +113,7 @@ def test_cli_loops(monkeypatch, tmp_path):
         assert np.all(np.isfinite(vd[k]))
 
 
+@pytest.mark.slow
 def test_cli_loops_unified_tsm_dilution_deflation(monkeypatch, tmp_path):
     """The full reference estimator structure in ONE run (SURVEY.md
     §4.5 calcMG_loops_w_oneD_TSM): TSM x one-end x one-derivative x
@@ -135,6 +139,7 @@ def test_cli_loops_unified_tsm_dilution_deflation(monkeypatch, tmp_path):
     assert set(vd) == set(vals)
 
 
+@pytest.mark.slow
 def test_cli_loops_deflated(monkeypatch, tmp_path):
     """Deflated loops: exact low-mode part + deflated stochastic part."""
     from tpuqcd.cli.run_loops import main
@@ -149,6 +154,7 @@ def test_cli_loops_deflated(monkeypatch, tmp_path):
         assert np.all(np.isfinite(vals[k])), k
 
 
+@pytest.mark.slow
 def test_cli_invert(monkeypatch, tmp_path, capsys):
     from tpuqcd.cli.run_invert import main
     cfgp = tmp_path / "inv.yaml"

@@ -1,6 +1,7 @@
 """Clover term: Hermiticity, free field, TM-clover operator + solve."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpuqcd import su3
@@ -27,6 +28,7 @@ def _psi(key=5):
     return random_spinor_dev(jax.random.PRNGKey(key), LAT, parities=1)
 
 
+@pytest.mark.slow
 def test_clover_blocks_hermitian():
     a = clover_blocks(_u(), LAT, KAPPA, CSW)
     an = np.asarray(a)  # [2,2,6,6,T,Z,S]
@@ -34,6 +36,7 @@ def test_clover_blocks_hermitian():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_clover_free_field_identity():
     """Unit gauge: F = 0, A = 1, clover apply is the identity and the
     TM-clover operator reduces to plain TM."""
@@ -64,6 +67,7 @@ def test_tmclover_adjointness():
     np.testing.assert_allclose(lhs, rhs, rtol=3e-5)
 
 
+@pytest.mark.slow
 def test_tmclover_solve():
     """CG on the TM-clover normal equations + full-system residual through
     prepare/reconstruct (true-residual self-oracle)."""
@@ -95,6 +99,7 @@ def test_tmclover_solve():
     assert rel < 5e-6, rel
 
 
+@pytest.mark.slow
 def test_packed_clover_pallas_matches_complex():
     """Fused Pallas clover epilogues == the complex TM-clover operator
     (interpreter mode)."""
@@ -136,6 +141,7 @@ def test_packed_clover_pallas_matches_complex():
                                np.asarray(want_x[1]), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_solve_tm_clover_bicgstab_bf16():
     """BASELINE config 2: even-odd TM-clover, mixed fp32/bf16 BiCGStab
     to a certified 1e-10 residual through the high-level solve API."""

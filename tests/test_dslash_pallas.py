@@ -190,3 +190,63 @@ def test_pallas_dirs_single_leg():
     full = dslash_eo_pallas(u12, psi_pk, EVEN, LAT, interpret=True)
     np.testing.assert_allclose(np.asarray(total), np.asarray(full),
                                atol=5e-5)
+
+
+def test_pack_gauge8_roundtrip():
+    """unpack(pack8) reproduces the SU(3) links exactly (unphased gauge;
+    boundary-phased links differ only in the rebuilt row2 phase, which
+    the kernel fixes via t_phase)."""
+    from tpuqcd.utils.packed import pack_gauge8, unpack_gauge8
+    u = su3.random_gauge_dev(jax.random.PRNGKey(5), LAT)
+    u8 = pack_gauge8(u)
+    assert u8.shape[2:5] == (4, 1, 2)
+    back = unpack_gauge8(u8)
+    # f32 angle/trig roundtrip: ~1e-5 worst case at small-|u00| pivots
+    np.testing.assert_allclose(np.asarray(back), np.asarray(u),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("dagger", [False, True])
+def test_pallas_recon8(dagger):
+    """In-kernel reconstruct-8 == full-gauge oracle, with the
+    antiperiodic-T boundary phase exercised."""
+    from tpuqcd.utils.packed import pack_gauge8
+    u, psi = _setup()                        # boundary-phased gauge
+    ref = dslash_eo_dev(u, psi, EVEN, LAT, dagger=dagger)
+    out = dslash_eo_pallas(pack_gauge8(u), pack_spinor(psi), EVEN, LAT,
+                           dagger=dagger, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=5e-5)
+
+
+def test_pallas_recon8_epilogue():
+    from tpuqcd.utils.packed import pack_gauge8
+    u, psi = _setup()
+    ref = twist_inv_apply_dev(dslash_eo_dev(u, psi, EVEN, LAT), KAPPA, MU)
+    out = dslash_eo_pallas(pack_gauge8(u), pack_spinor(psi), EVEN, LAT,
+                           epilogue="twist_inv", kappa=KAPPA, mu=MU,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_spinor(out)),
+                               np.asarray(ref), atol=5e-5)
+
+
+def test_pallas_bf16_compute():
+    """Full-bf16 VPU arithmetic (compute='bf16', the MG smoother mode):
+    matches the f32 oracle to bf16 accumulation tolerance (~2%)."""
+    u, psi = _setup()
+    ref = np.asarray(dslash_eo_dev(u, psi, EVEN, LAT))
+    u_bf = pack_gauge(u).astype(jnp.bfloat16)
+    psi_bf = pack_spinor(psi).astype(jnp.bfloat16)
+    out = dslash_eo_pallas(u_bf, psi_bf, EVEN, LAT, compute="bf16",
+                           interpret=True)
+    got = np.asarray(unpack_spinor(out.astype(jnp.float32)))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=0.05 * scale)
+    # fused epilogue in bf16 too
+    ref2 = np.asarray(twist_inv_apply_dev(
+        dslash_eo_dev(u, psi, EVEN, LAT), KAPPA, MU))
+    out2 = dslash_eo_pallas(u_bf, psi_bf, EVEN, LAT, epilogue="twist_inv",
+                            kappa=KAPPA, mu=MU, compute="bf16",
+                            interpret=True)
+    got2 = np.asarray(unpack_spinor(out2.astype(jnp.float32)))
+    np.testing.assert_allclose(got2, ref2, atol=0.05 * np.abs(ref2).max())

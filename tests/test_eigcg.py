@@ -3,6 +3,7 @@ the amortization contract: later right-hand sides converge faster."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuqcd.solvers.eigcg import EigCGSpace, eigcg, solve_sequence
 
@@ -73,6 +74,7 @@ def test_eigcg_space_deflation_exactness(rng):
     np.testing.assert_allclose(np.asarray(x0), want, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_eigcg_solver_production_path():
     """EigCGSolver (solve.py): packed fields, eo preconditioning, f64
     defect correction to 1e-10 TRUE residual, amortizing RHS sequence."""

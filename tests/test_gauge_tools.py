@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuqcd import su3
 from tpuqcd.lattice import Lattice
@@ -74,6 +75,7 @@ def test_ape_smear():
     np.testing.assert_allclose(np.linalg.det(m), np.ones(len(m)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gauge_fixing_landau():
     """Overrelaxed Landau gauge fixing monotonically raises the gauge
     functional, leaves the plaquette invariant, and keeps links SU(3)."""

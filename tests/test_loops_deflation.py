@@ -2,6 +2,7 @@
 Lanczos deflation, all against dense oracles on 2^3 x 4."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpuqcd import su3
@@ -162,6 +163,7 @@ def _mgpk_to_full_c(v_pk):
     return eo_to_full(spinor_from_device(c, LAT), LAT)
 
 
+@pytest.mark.slow
 def test_lanczos_pk_vs_dense():
     """Packed-real Lanczos (TPU-layout deflation path, SURVEY.md C27) on
     A = M_d M_d^dag matches the dense spectrum, and the returned basis

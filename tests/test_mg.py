@@ -67,6 +67,7 @@ def test_galerkin_exactness():
                                atol=3e-5)
 
 
+@pytest.mark.slow
 def test_mg_preconditioned_gcr():
     """MG-GCR converges and uses (substantially) fewer fine-operator
     iterations than unpreconditioned GCR."""
@@ -89,6 +90,7 @@ def test_mg_preconditioned_gcr():
         (int(res.iters), int(res_plain.iters))
 
 
+@pytest.mark.slow
 def test_mg_three_level():
     """3-level recursion (4x4x4x8 -> 2x2x2x4 -> 1x1x1x2) runs and solves."""
     lv = _level()

@@ -38,6 +38,7 @@ def _rand_batch(n):
     return jax.random.normal(jax.random.PRNGKey(5), shape, jnp.float32)
 
 
+@pytest.mark.slow
 def test_solve_batch_matches_sequential(mg):
     b = _rand_batch(3)
     res = mg.solve_batch(b, tol=1e-5, maxiter=100)
@@ -50,6 +51,7 @@ def test_solve_batch_matches_sequential(mg):
         assert d / nrm < 5e-4, (i, d / nrm)
 
 
+@pytest.mark.slow
 def test_solve_certified_batch(mg):
     b = _rand_batch(2)
     x, rel, iters = mg.solve_certified_batch(b, tol=1e-9, maxiter=100)
@@ -65,6 +67,7 @@ def test_solve_certified_batch(mg):
         assert tru <= 2e-9, (i, tru)
 
 
+@pytest.mark.slow
 def test_solve_certified_batch_zero_column(mg):
     b = _rand_batch(2)
     b = b.at[1].set(0.0)

@@ -133,6 +133,7 @@ def test_fine_transfer_adjoint():
                                atol=2e-3)
 
 
+@pytest.mark.slow
 def test_galerkin_identity_fine():
     """coarse.apply == R . M . P (exact by construction)."""
     dev, tr = _fine_and_transfer()
@@ -144,6 +145,7 @@ def test_galerkin_identity_fine():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_galerkin_identity_coarse_level():
     """Second coarsening: DeviceCoarseTransfer + probing on a coarse
     level reproduce R A_1 P."""
@@ -213,6 +215,7 @@ def test_fine_tm_fused_pallas_apply():
                                np.asarray(xla.apply(v)), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fine_clover_level_vs_oracle():
     """DeviceFineCloverLevel (xla + pallas-interpret) vs the composed
     complex-device oracle A v + i tw g5 v - kappa D v."""

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpuqcd import su3
 from tpuqcd.fields import apply_boundary_phase_dev
 from tpuqcd.lattice import Lattice

@@ -50,6 +50,7 @@ def test_sharded_fine_apply_matches(setup):
                                    atol=5e-5, err_msg=f"hop {mu_} {sign}")
 
 
+@pytest.mark.slow
 def test_sharded_fine_mg_end_to_end(setup):
     fine_sh, fine_0, lmesh = setup
     mg0 = DeviceMG(fine_0, PARAMS)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuqcd import su3
 from tpuqcd.fields import apply_boundary_phase_dev, random_spinor_dev
@@ -35,6 +36,7 @@ def test_multishift_cg():
         assert rel < 2e-5, (i, s, rel)
 
 
+@pytest.mark.slow
 def test_stout_smearing():
     from tpuqcd.ops.gauge_tools import plaquette, stout_smear
     u = su3.random_gauge_dev(jax.random.PRNGKey(3), LAT)

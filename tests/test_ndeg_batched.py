@@ -1,6 +1,7 @@
 """Non-degenerate TM doublet operator + batched multi-RHS CG."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpuqcd import su3
@@ -62,6 +63,7 @@ def test_cg_batched_matches_sequential():
         assert rel < 5e-6, (k, rel)
 
 
+@pytest.mark.slow
 def test_packed_ndeg_vs_host():
     """PackedNdegTMOperator (fused kernels, interpret) == host
     NdegTMOperator through layout conversion; dagger identity holds."""
@@ -105,3 +107,72 @@ def test_packed_ndeg_vs_host():
                                        backend="pallas", interpret=True)
     np.testing.assert_allclose(np.asarray(devp.apply(chi_pk)),
                                np.asarray(dev.apply(chi_pk)), atol=5e-5)
+
+
+@pytest.mark.slow
+def test_ndeg_pc_solve_full_system():
+    """Even-odd preconditioned ndeg doublet (PackedNdegTMOperatorPC +
+    solve_ndeg_tm): adjointness of Mhat, and the full-system solve
+    certifies against the host NdegTMOperator (VERDICT r1 missing #6)."""
+    from tpuqcd.fields import (apply_boundary_phase_dev, eo_to_full,
+                               full_to_eo)
+    from tpuqcd.operators import PackedNdegTMOperatorPC
+    from tpuqcd.ops.layout import (gauge_from_device, spinor_from_device,
+                                   spinor_to_device)
+    from tpuqcd.solve import solve_ndeg_tm
+    from tpuqcd.utils.packed import pack_gauge, pack_spinor
+    KAPPA, MUB, EPSB = 0.115, 0.06, 0.09
+    u_dev = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), LAT), LAT)
+    u_pk = pack_gauge(u_dev)
+    pc = PackedNdegTMOperatorPC(LAT, kappa=KAPPA, mubar=MUB,
+                                epsbar=EPSB, backend="xla")
+
+    def rand_e(key):
+        from tpuqcd.fields import random_spinor_dev
+        return pack_spinor(random_spinor_dev(key, LAT, parities=1))
+
+    chi = jnp.stack([rand_e(jax.random.PRNGKey(1)),
+                     rand_e(jax.random.PRNGKey(2))])
+    phi = jnp.stack([rand_e(jax.random.PRNGKey(3)),
+                     rand_e(jax.random.PRNGKey(4))])
+    # adjointness: <phi, Mhat chi> == <Mhat^dag phi, chi> (packed dots)
+    m_chi = pc.apply(u_pk, chi)
+    md_phi = pc.apply_dagger(u_pk, phi)
+
+    def cdot_all(a, b):
+        ar, ai = a[:, 0], a[:, 1]
+        br, bi = b[:, 0], b[:, 1]
+        return (float(jnp.sum(ar * br + ai * bi)),
+                float(jnp.sum(ar * bi - ai * br)))
+
+    lhs = cdot_all(phi, m_chi)
+    rhs = cdot_all(md_phi, chi)
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-4, atol=2e-3)
+
+    # full doublet solve; certify vs the host complex operator
+    # b [2(flavor), 2(par), 2ri, 4, 3, T, Z, S]
+    b = jnp.stack([jnp.stack([rand_e(jax.random.PRNGKey(11)),
+                              rand_e(jax.random.PRNGKey(12))]),
+                   jnp.stack([rand_e(jax.random.PRNGKey(13)),
+                              rand_e(jax.random.PRNGKey(14))])])
+    res = solve_ndeg_tm(u_pk, b, LAT, kappa=KAPPA, mubar=MUB,
+                        epsbar=EPSB, tol=1e-9, backend="xla")
+    assert float(res.relres) < 1e-9
+    # independent residual with the host full-layout ndeg operator
+    op = NdegTMOperator(LAT, kappa=KAPPA, mubar=MUB, epsbar=EPSB)
+    u_full = gauge_from_device(u_dev, LAT)
+    from tpuqcd.fields import gauge_eo_to_full
+    u_f = gauge_eo_to_full(u_full, LAT)
+
+    def pk_to_full(x):           # [2par, 2ri, 4, 3, T, Z, S] -> full
+        c = jax.lax.complex(x[:, 0].astype(jnp.float32),
+                            x[:, 1].astype(jnp.float32))
+        return eo_to_full(spinor_from_device(c, LAT), LAT)
+
+    chi_full = jnp.stack([pk_to_full(res.x[f]) for f in range(2)])
+    b_full = jnp.stack([pk_to_full(b[f].astype(jnp.float64))
+                        for f in range(2)])
+    r = b_full - op.apply(u_f, chi_full)
+    rel = float(jnp.sqrt(norm2(r) / norm2(b_full)))
+    assert rel < 1e-5, rel

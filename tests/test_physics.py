@@ -58,6 +58,7 @@ def _dense_props(u, tag="main", src=(0, 0, 0, 0)):
     return {k: point_propagator_from_dense(v, src) for k, v in ata.items()}
 
 
+@pytest.mark.slow
 def test_propagator_matches_dense():
     """12-RHS iterative propagator == dense-inverse propagator column."""
     u = _u()

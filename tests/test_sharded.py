@@ -24,7 +24,10 @@ def _problem():
     return pack_gauge(u), pack_spinor(psi)
 
 
-@pytest.mark.parametrize("grid", [(2, 1), (4, 1), (2, 2)])
+@pytest.mark.parametrize("grid", [
+    (2, 1),
+    pytest.param((4, 1), marks=pytest.mark.slow),
+    pytest.param((2, 2), marks=pytest.mark.slow)])
 def test_sharded_apply_matches_single(grid, cpu_devices):
     nt, nz = grid
     u_pk, psi_pk = _problem()
@@ -46,6 +49,7 @@ def test_sharded_apply_matches_single(grid, cpu_devices):
                                atol=3e-5)
 
 
+@pytest.mark.slow
 def test_sharded_solve(cpu_devices):
     """End-to-end sharded CG (xla reductions auto-psum across shards)."""
     from tpuqcd.solvers.cg import cg_normal
@@ -76,8 +80,10 @@ def test_sharded_solve(cpu_devices):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-3)
 
 
-@pytest.mark.parametrize("grid,overlap", [((4, 1), False), ((2, 2), False),
-                                          ((2, 2), True)])
+@pytest.mark.parametrize("grid,overlap", [
+    pytest.param((4, 1), False, marks=pytest.mark.slow),
+    pytest.param((2, 2), False, marks=pytest.mark.slow),
+    pytest.param((2, 2), True, marks=pytest.mark.slow)])
 def test_sharded_clover_apply_matches_single(grid, overlap, cpu_devices):
     """ShardedTMCloverOperatorPC == PackedTMCloverOperatorPC on the
     virtual mesh (clover + z-axis multi-chip path, VERDICT r1 #7)."""
@@ -125,4 +131,32 @@ def test_sharded_clover_apply_matches_single(grid, overlap, cpu_devices):
         fields, bhat, b_sh)
     want_x = ref_op.reconstruct(fields_ref, want_bhat, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(want_x),
+                               atol=3e-5)
+
+
+@pytest.mark.parametrize("grid", [
+    (2, 1), pytest.param((2, 2), marks=pytest.mark.slow)])
+def test_sharded_recon12_matches_single(grid, cpu_devices):
+    """Compressed (reconstruct-12) links on the T-sharded kernel path
+    (VERDICT r1 #5): the global-t boundary-phase fix rides in as the
+    shard's t-offset scalar."""
+    from tpuqcd.utils.packed import pack_gauge12
+    nt, nz = grid
+    u_pk, psi_pk = _problem()
+    ref_op = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend="xla")
+    ref = ref_op.apply(u_pk, psi_pk)
+    refd = ref_op.apply_dagger(u_pk, psi_pk)
+
+    u12 = u_pk[:, :, :2]                     # pack_gauge12 of the same u
+    lmesh = LatticeMesh.make(LAT, nt, nz, devices=cpu_devices)
+    op = ShardedTMOperatorPC(LAT, lmesh, kappa=KAPPA, mu=MU,
+                             interpret=True, block_z=2)
+    u_sh = lmesh.shard_gauge(u12)
+    psi_sh = lmesh.shard_spinor(psi_pk)
+    u_ext = op.extend_gauge(u_sh)
+    out = jax.jit(lambda ue, ps: op.apply(ue, ps))(u_ext, psi_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+    outd = jax.jit(lambda ue, ps: op.apply_dagger(ue, ps))(u_ext, psi_sh)
+    np.testing.assert_allclose(np.asarray(outd), np.asarray(refd),
                                atol=3e-5)

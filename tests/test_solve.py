@@ -2,6 +2,7 @@
 (config 2 of BASELINE.md, CPU-runnable with the xla backend)."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpuqcd import su3
@@ -41,6 +42,7 @@ def test_bicgstab_converges():
     assert rel < 1e-5, rel
 
 
+@pytest.mark.slow
 def test_solve_tm_cg_1e10():
     u_pk, b_pk = _problem()
     res = solve_tm(u_pk, b_pk, LAT, kappa=KAPPA, mu=MU, tol=1e-10,
@@ -62,6 +64,7 @@ def test_solve_tm_cg_1e10():
     assert (num / den) ** 0.5 < 1e-9
 
 
+@pytest.mark.slow
 def test_solve_tm_bicgstab():
     u_pk, b_pk = _problem()
     res = solve_tm(u_pk, b_pk, LAT, kappa=KAPPA, mu=MU, tol=1e-8,
@@ -69,6 +72,7 @@ def test_solve_tm_bicgstab():
     assert float(res.relres) < 1e-8
 
 
+@pytest.mark.slow
 def test_solve_tm_bf16_sloppy():
     """bf16 sloppy fields still reach 1e-8 via f64 refinement."""
     u_pk, b_pk = _problem()

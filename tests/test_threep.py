@@ -2,6 +2,7 @@
 evaluation of the current insertion) on a 2^3 x 4 lattice."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tpuqcd import su3
@@ -55,6 +56,7 @@ def _dense_insertion(ata_f, t_ins, op):
     return out
 
 
+@pytest.mark.slow
 def test_threep_ultralocal_matches_dense():
     u, ata, props = _setup()
     m_u = TMOperator(LAT, kappa=KAPPA, mu=MU, flavor=+1)

@@ -5,6 +5,7 @@ exercise every spin/color/parity pathway without solves."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuqcd import su3
 from tpuqcd.fields import gauge_full_to_eo
@@ -62,6 +63,7 @@ def test_threep_ultralocal_dev_matches_host():
                                    rtol=3e-4, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_cov_deriv_sym_pk_matches_host():
     from tpuqcd.phys.threep import cov_deriv_sym
     u = su3.random_gauge(jax.random.PRNGKey(2), LAT)
@@ -82,6 +84,7 @@ def test_cov_deriv_sym_pk_matches_host():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_proton_seq_source_pk_matches_host():
     from tpuqcd.gammas import PARITY_MINUS, PARITY_PLUS
     from tpuqcd.phys.threep import proton_seq_source

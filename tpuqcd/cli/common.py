@@ -24,10 +24,18 @@ def parse_args(description: str):
     ap.add_argument("--device", default=None,
                     help="cpu to force the CPU backend")
     args = ap.parse_args()
+    # multi-process launch (TPUQCD_DIST=1, one process per host): form
+    # the global runtime BEFORE the first device touch below
+    from ..parallel.dist import init_distributed
+    init_distributed()
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
         stream=sys.stdout)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # rank-0-style logging (SURVEY.md §6.5): non-zero processes keep
+        # warnings/errors only
+        logging.getLogger("tpuqcd").setLevel(logging.WARNING)
     # CLI policy: eager/physics/analysis code runs on the host CPU; the
     # jitted solver runs on the accelerator via explicitly device_put
     # inputs.  (Full-layout complex arrays cannot materialize on the axon
@@ -104,16 +112,26 @@ def smeared_gauge(cfg, lat, u_dev):
                      n_steps=cfg.physics.smear_n_ape)
 
 
-def _mg_fine_level(cfg, lat, u_pk, flavor):
-    """TM or TM-clover device fine level per the action config."""
+def _mg_fine_level(cfg, lat, u_pk, flavor, lmesh=None):
+    """TM or TM-clover fine level per the action config; with a
+    LatticeMesh the fine level is the shard_map ShardedFineLevel
+    (multi-chip MG, config 5)."""
     from ..mg.device import DeviceFineCloverLevel, DeviceFineLevel
     u32 = u_pk.astype(jnp.float32)
+    cl_pk = None
     if getattr(cfg.action, "csw", 0.0):
         from ..ops.clover import clover_blocks
         from ..utils.packed import pack_clover, unpack_gauge
         a = clover_blocks(unpack_gauge(u32), lat, cfg.action.kappa,
                           cfg.action.csw)
         cl_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+    if lmesh is not None:
+        from ..mg.shard import ShardedFineLevel
+        return ShardedFineLevel.build(
+            lat, lmesh, u32, cfg.action.kappa, cfg.action.mu,
+            flavor=flavor, backend=cfg.solver.backend,
+            clover_pk=cl_pk, csw=float(getattr(cfg.action, "csw", 0.0)))
+    if cl_pk is not None:
         return DeviceFineCloverLevel(lat, u32, cl_pk, cfg.action.kappa,
                                      cfg.action.mu, csw=cfg.action.csw,
                                      flavor=flavor,
@@ -134,6 +152,37 @@ def make_solver(cfg, lat, u_pk, u_full):
               else jnp.float32)
     csw = float(getattr(cfg.action, "csw", 0.0) or 0.0)
     rhs_batch = max(1, int(getattr(cfg.solver, "rhs_batch", 1)))
+
+    # multi-chip domain decomposition (config 5; the reference's
+    # --gridsize [U] SURVEY.md §6.8): a (t, z) LatticeMesh routes every
+    # solve through the sharded operators / sharded MG fine level, and
+    # all device fields carry the mesh sharding
+    lmesh = None
+    mesh_cfg = getattr(cfg, "mesh", None)
+    if mesh_cfg is not None and mesh_cfg.nt * mesh_cfg.nz > 1:
+        from ..parallel.mesh import LatticeMesh
+        # devices of the ACCELERATOR platform (with --device cpu this is
+        # the forced-multi-device CPU backend, the virtual-mesh test rig)
+        lmesh = LatticeMesh.make(lat, mesh_cfg.nt, mesh_cfg.nz,
+                                 devices=jax.devices(accel().platform))
+        log.info("lattice mesh: %d x %d devices over (T, Z)",
+                 mesh_cfg.nt, mesh_cfg.nz)
+        if cfg.solver.solver == "eigcg":
+            raise NotImplementedError(
+                "eigcg is single-chip; with mesh use mg.enabled or "
+                "solver: cg/bicgstab")
+
+    def _put(arr):
+        """Place a packed SOLVER-layout array [.., 2par, 2ri, 4, 3, T,
+        Z, S] on the accelerator (mesh sharding when mesh is on)."""
+        if lmesh is None:
+            return jax.device_put(arr, accel())
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.dist import global_put
+        spec = [None] * arr.ndim
+        spec[arr.ndim - 3] = "t"
+        spec[arr.ndim - 2] = "z"
+        return global_put(arr, NamedSharding(lmesh.mesh, P(*spec)))
 
     def _chunked_batch(solve_chunk_fn, b_pks, flavor):
         """Drive solve_chunk_fn(b [k, 2par, 2ri, ...]) -> x over
@@ -156,9 +205,13 @@ def make_solver(cfg, lat, u_pk, u_full):
                                 smoother_iters=cfg.mg.smoother_iters,
                                 coarse_iters=cfg.mg.coarse_maxiter,
                                 mu_factor=cfg.mg.mu_factor)
+        if lmesh is not None and (cfg.mg.vec_infile or cfg.mg.vec_outfile):
+            raise NotImplementedError(
+                "mg.vec_infile/vec_outfile checkpointing is single-chip; "
+                "drop it from the config when mesh is enabled")
         mgs = {}
         for flavor in (+1, -1):
-            lv = _mg_fine_level(cfg, lat, u_pk, flavor)
+            lv = _mg_fine_level(cfg, lat, u_pk, flavor, lmesh)
             if cfg.mg.vec_infile:
                 mg = load_device_mg(f"{cfg.mg.vec_infile}.f{flavor:+d}.npz",
                                     lv, params)
@@ -175,7 +228,7 @@ def make_solver(cfg, lat, u_pk, u_full):
             """packed source [2par, 2ri, 4, 3, T, Z, S] -> packed result
             (the all-device pipeline entry: device seq sources etc.)."""
             from ..solve import solve_tm_mg
-            b_pk = jax.device_put(b_pk, accel())
+            b_pk = _put(b_pk)
             res = solve_tm_mg(mgs[flavor], b_pk, tol=cfg.solver.tol,
                               inner_tol=cfg.solver.inner_tol)
             log.info("  mg solve: relres=%.2e iters=%d",
@@ -206,6 +259,12 @@ def make_solver(cfg, lat, u_pk, u_full):
             columns (SURVEY.md §8.4): b_pks [n, 2par, 2ri, 4, 3, T, Z,
             S] -> x f32 same layout."""
             from ..solve import solve_tm_mg_batch
+            if lmesh is not None:
+                # vmap over the shard_map fine level is untested; on a
+                # mesh the columns run sequentially (each fully sharded)
+                return jnp.stack(
+                    [solve_pk_src(b_pks[i], flavor).x.astype(jnp.float32)
+                     for i in range(b_pks.shape[0])])
 
             def chunk(bs, fl):
                 bs = jax.device_put(bs, accel())
@@ -223,6 +282,8 @@ def make_solver(cfg, lat, u_pk, u_full):
         solve.packed_src = lambda b_pk, flavor=+1: \
             solve_pk_src(b_pk, flavor).x.astype(jnp.float32)
         solve.packed_src_batch = solve_pk_src_batch
+        solve.lmesh = lmesh
+        solve.put = _put
         return solve
 
     if cfg.solver.solver == "eigcg":
@@ -273,9 +334,91 @@ def make_solver(cfg, lat, u_pk, u_full):
         solve.packed_src_batch = lambda b_pks, flavor=+1: jnp.stack(
             [solve_pk_src(b_pks[i], flavor)
              for i in range(b_pks.shape[0])])
+        solve.lmesh = None
+        solve.put = _put
         return solve
 
     from functools import partial
+
+    if lmesh is not None:
+        # sharded mixed-precision solve (config-5 plain path): fused
+        # per-shard kernels (pallas) or GSPMD-free overlap repairs (xla)
+        # for the iteration; f64 certification on the dtype-generic twin
+        import dataclasses as _dc
+        from ..parallel.sharded import (ShardedTMCloverOperatorPC,
+                                        ShardedTMOperatorPC)
+        from ..solve import make_clover_fields, solve_tm_sharded
+        overlap_s = cfg.solver.backend == "xla"
+        ops = {}
+        if csw != 0.0:
+            clover = make_clover_fields(u_pk, lat, kappa=cfg.action.kappa,
+                                        mu=cfg.action.mu, csw=csw)
+            for flavor in (+1, -1):
+                op_s = ShardedTMCloverOperatorPC(
+                    lat, lmesh, kappa=cfg.action.kappa, mu=cfg.action.mu,
+                    csw=csw, flavor=flavor, backend=cfg.solver.backend,
+                    overlap=overlap_s)
+                ops[flavor] = (op_s,
+                               _dc.replace(op_s, backend="xla",
+                                           overlap=True))
+            f32 = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), clover)
+            f0 = ops[+1][0].extend_fields(u_pk.astype(jnp.float32), *f32)
+            fields_s = jax.tree_util.tree_map(
+                lambda a: a.astype(sloppy), f0)
+            fields_hp = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float64), f0)
+        else:
+            for flavor in (+1, -1):
+                op_s = ShardedTMOperatorPC(
+                    lat, lmesh, kappa=cfg.action.kappa, mu=cfg.action.mu,
+                    flavor=flavor, backend=cfg.solver.backend,
+                    overlap=overlap_s)
+                ops[flavor] = (op_s,
+                               _dc.replace(op_s, backend="xla",
+                                           overlap=True))
+            u_ext = ops[+1][0].extend_gauge(
+                lmesh.shard_gauge(u_pk.astype(jnp.float32)))
+            fields_s = u_ext.astype(sloppy)
+            fields_hp = u_ext.astype(jnp.float64)
+
+        @partial(jax.jit, static_argnums=(0, 1))
+        def _sharded_jit(op_s, op_hp, fs, fhp, b_sh):
+            res = solve_tm_sharded(op_s, op_hp, fs, fhp, b_sh,
+                                   tol=cfg.solver.tol,
+                                   maxiter=cfg.solver.maxiter,
+                                   inner_tol=cfg.solver.inner_tol,
+                                   solver=cfg.solver.solver)
+            return res.x.astype(jnp.float32), res.relres, res.iters
+
+        def solve_pk_src(b_pk, flavor=+1):
+            op_s, op_hp = ops[int(flavor)]
+            x, relres, iters = _sharded_jit(op_s, op_hp, fields_s,
+                                            fields_hp, _put(b_pk))
+            log.info("  sharded solve: relres=%.2e iters=%d",
+                     float(relres), int(iters))
+            return x
+
+        def solve_pk(b_full, flavor=+1):
+            cpu_ = jax.devices("cpu")[0]
+            with jax.default_device(cpu_):
+                b_pk = full_to_packed(b_full, lat)
+            return solve_pk_src(b_pk, flavor)
+
+        def solve(b_full, flavor=+1):
+            x_pk = solve_pk(b_full, flavor)
+            cpu_ = jax.devices("cpu")[0]
+            with jax.default_device(cpu_):
+                return packed_to_full(jax.device_put(x_pk, cpu_), lat)
+
+        solve.packed = solve_pk
+        solve.packed_src = solve_pk_src
+        solve.packed_src_batch = lambda b_pks, flavor=+1: jnp.stack(
+            [solve_pk_src(b_pks[i], flavor)
+             for i in range(b_pks.shape[0])])
+        solve.lmesh = lmesh
+        solve.put = _put
+        return solve
 
     # one-time clover construction shared by every solve (ADVICE r1:
     # action.csw must reach the non-MG mixed-precision path too, or the
@@ -349,4 +492,6 @@ def make_solver(cfg, lat, u_pk, u_full):
     solve.packed = solve_pk
     solve.packed_src = solve_pk_src
     solve.packed_src_batch = solve_pk_src_batch
+    solve.lmesh = None
+    solve.put = _put
     return solve

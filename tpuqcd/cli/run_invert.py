@@ -19,6 +19,8 @@ def main():
 
     cfg, args = parse_args(__doc__)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
+    if getattr(cfg.action, "epsbar", 0.0) != 0.0:
+        return _main_ndeg(cfg, lat, u_pk)
     solve = make_solver(cfg, lat, u_pk, u_full)
 
     kr, ki = jax.random.split(jax.random.PRNGKey(99))
@@ -80,6 +82,74 @@ def main():
              t, gf, rel)
     print(f"RESULT solve_seconds={t:.3f} relres={rel:.3e} "
           f"gflops={gf:.1f} dims={lat.dims} tol={cfg.solver.tol}")
+
+
+def _main_ndeg(cfg, lat, u_pk):
+    """Non-degenerate doublet solve (heavy s/c pair; reference
+    MG_invert_test with QUDA_TWIST_NONDEG_DOUBLET [U], SURVEY.md C5)."""
+    import jax
+    import jax.numpy as jnp
+    from ..operators import PackedNdegTMOperatorPC
+    from ..phys.propagator import full_to_packed
+    from ..solve import solve_ndeg_tm
+    from ..utils import pkalg as pk
+    from ..utils.profile import Profile
+    from .common import accel
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        keys = jax.random.split(jax.random.PRNGKey(99), 4)
+        cols = []
+        for kk in keys[:2]:
+            kr, ki = jax.random.split(kk)
+            b = jax.lax.complex(
+                jax.random.normal(kr, (*lat.full_shape, 4, 3),
+                                  dtype=jnp.float32),
+                jax.random.normal(ki, (*lat.full_shape, 4, 3),
+                                  dtype=jnp.float32))
+            cols.append(full_to_packed(b, lat))
+        b_pk = jnp.stack(cols)               # [2(flavor), 2par, ...]
+    b_acc = jax.device_put(b_pk, accel())
+    prof = Profile()
+    with prof.phase("solve"):
+        res = solve_ndeg_tm(u_pk, b_acc, lat, kappa=cfg.action.kappa,
+                            mubar=cfg.action.mubar,
+                            epsbar=cfg.action.epsbar,
+                            tol=cfg.solver.tol,
+                            maxiter=cfg.solver.maxiter,
+                            inner_tol=cfg.solver.inner_tol,
+                            backend=cfg.solver.backend)
+        jax.block_until_ready(res.x)
+    t = prof.times["solve"]
+    log.info("ndeg solve: relres=%.2e iters=%d", float(res.relres),
+             int(res.iters))
+    # independent full-doublet residual: M_nd x vs b in packed f64
+    pc = PackedNdegTMOperatorPC(lat, kappa=cfg.action.kappa,
+                                mubar=cfg.action.mubar,
+                                epsbar=cfg.action.epsbar, backend="xla")
+    u64 = u_pk.astype(jnp.float64)
+    x64 = res.x
+
+    def full_m(chi):
+        """full two-parity M_nd on [2fl, 2par, 2ri, ...] (site + hops)."""
+        from ..ops.dslash_xla import dslash_eo_dev_ri
+        k = cfg.action.kappa
+        out = []
+        for par in range(2):
+            d = jnp.stack([dslash_eo_dev_ri(u64, chi[f, 1 - par],
+                                            1 - par, lat)
+                           for f in range(2)])
+            out.append(pc._site(chi[:, par], False)
+                       - jnp.asarray(k, chi.dtype) * d)
+        return jnp.stack(out, axis=1)
+
+    r = b_pk.astype(jnp.float64) - full_m(x64)
+    num = float(pk.norm2(r, dtype=jnp.float64))
+    den = float(pk.norm2(b_pk.astype(jnp.float64), dtype=jnp.float64))
+    rel = (num / max(den, 1e-300)) ** 0.5
+    log.info("wallclock %.3f s, certified doublet |r|/|b| = %.3e", t, rel)
+    print(f"RESULT solve_seconds={t:.3f} relres={rel:.3e} "
+          f"dims={lat.dims} tol={cfg.solver.tol} ndeg=1")
 
 
 if __name__ == "__main__":

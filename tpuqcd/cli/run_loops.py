@@ -44,7 +44,7 @@ def main():
     ph = cfg.physics
 
     acc = accel()
-    use_dev = (acc.platform != "cpu"
+    use_dev = (solve.lmesh is not None or acc.platform != "cpu"
                or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
     if csw != 0.0 and not use_dev:
         raise NotImplementedError(
@@ -110,7 +110,7 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
     ph = cfg.physics
     ka, mu_ = cfg.action.kappa, cfg.action.mu
     g5pk = jnp.asarray(g5d, jnp.float32)[:, None, None, None, None]
-    u_acc = jax.device_put(u_pk, accel())
+    u_acc = solve.put(u_pk)
 
     def solve_ddag_batch(b_pks):
         """psi = (M_d^dag)^{-1} b = g5 M_u^{-1} g5 b, batched."""

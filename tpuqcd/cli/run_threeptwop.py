@@ -70,10 +70,10 @@ def main():
     projs = {"P+": PARITY_PLUS, "P-": PARITY_MINUS}
 
     acc = accel()
-    use_dev = (acc.platform != "cpu"
+    use_dev = (solve.lmesh is not None or acc.platform != "cpu"
                or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
     if use_dev:
-        u_pk_acc = jax.device_put(u_pk, acc)
+        u_pk_acc = solve.put(u_pk)
 
     for src in cfg.physics.source_positions:
         log.info("source %s (contractions on %s)", src,

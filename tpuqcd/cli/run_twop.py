@@ -37,12 +37,12 @@ def main():
     # and the Wick engine (phys/contract_dev.py) streams there; only the
     # tiny density crosses to the host for momentum projection
     acc = accel()
-    use_dev = (acc.platform != "cpu"
+    use_dev = (solve.lmesh is not None or acc.platform != "cpu"
                or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
     if use_dev and cfg.physics.smear_n_gauss > 0:
         # packed form: complex gauge arrays cannot device_put to the TPU
         from ..utils.packed import pack_gauge
-        u_sm_acc = jax.device_put(pack_gauge(u_sm), acc)
+        u_sm_acc = solve.put(pack_gauge(u_sm))
 
     for src in cfg.physics.source_positions:
         log.info("source %s (contractions on %s)", src,

@@ -567,6 +567,103 @@ def _itwg5_packed(v_pk: jax.Array, tw: float) -> jax.Array:
     return jnp.stack([-t * g5 * v_pk[1], t * g5 * v_pk[0]])
 
 
+@dataclasses.dataclass(frozen=True)
+class PackedNdegTMOperatorPC:
+    """Even-odd preconditioned NON-DEGENERATE twisted-mass doublet on
+    packed fields (the heavy s/c solver operator; reference
+    `dslash_ndeg_twisted_mass.cu` + its *PC Dirac class [U]; SURVEY.md
+    C5/C10).
+
+    chi [2(flavor), 2(par)?...]: `apply` acts on the even-parity doublet
+    [2(fl), 2(ri), 4, 3, T, Z, S].  Site term (flavor-mixing)
+
+        A = 1 + i t g5 tau3 + e tau1,  t = 2 kappa mubar, e = 2 kappa
+        epsbar,
+
+    whose inverse is closed-form because g5 is diagonal and
+    det_flavor(A) = 1 + t^2 - e^2 is a SCALAR:
+
+        A^{-1} = [(1 - i t g5) chi_0 - e chi_1,
+                  (1 + i t g5) chi_1 - e chi_0] / (1 + t^2 - e^2).
+
+    Mhat = A_ee - k^2 D_eo A_oo^{-1} D_oe (D flavor-diagonal).
+    gamma5 tau1-Hermiticity: Mhat^dag = (g5 tau1) Mhat (g5 tau1),
+    implemented directly as daggered hops + mubar sign flip.
+    Requires 1 + t^2 - e^2 > 0 (physical s/c doublets satisfy this).
+    """
+    lat: Lattice
+    kappa: float
+    mubar: float
+    epsbar: float
+    backend: str = "pallas"
+    interpret: bool = False
+
+    def _t_e(self, flip):
+        t = 2.0 * self.kappa * self.mubar * (1 if not flip else -1)
+        e = 2.0 * self.kappa * self.epsbar
+        return t, e
+
+    def _site(self, chi, flip):
+        t, e = self._t_e(flip)
+        ee = jnp.asarray(e, chi.dtype)
+        a0 = chi[0] + _itwg5_packed(chi[0], t) + ee * chi[1]
+        a1 = chi[1] + _itwg5_packed(chi[1], -t) + ee * chi[0]
+        return jnp.stack([a0, a1])
+
+    def _site_inv(self, chi, flip):
+        t, e = self._t_e(flip)
+        den = 1.0 / (1.0 + t * t - e * e)
+        ee = jnp.asarray(e, chi.dtype)
+        d = jnp.asarray(den, chi.dtype)
+        x0 = d * (chi[0] - _itwg5_packed(chi[0], t) - ee * chi[1])
+        x1 = d * (chi[1] - _itwg5_packed(chi[1], -t) - ee * chi[0])
+        return jnp.stack([x0, x1])
+
+    def _dslash(self, u_pk, chi, parity, dagger):
+        """Flavor-diagonal hop on the doublet."""
+        def one(psi):
+            if self.backend == "pallas":
+                from .ops.dslash_pallas import dslash_eo_pallas
+                return dslash_eo_pallas(u_pk, psi, parity, self.lat,
+                                        dagger=dagger,
+                                        interpret=self.interpret)
+            from .ops.dslash_xla import dslash_eo_dev_ri
+            return dslash_eo_dev_ri(u_pk, psi, parity, self.lat,
+                                    dagger=dagger)
+        return jnp.stack([one(chi[0]), one(chi[1])])
+
+    def _apply(self, u_pk, chi_e, dagger):
+        k = self.kappa
+        d = self._dslash(u_pk, chi_e, EVEN, dagger)
+        w = self._site_inv(d, dagger)
+        d2 = self._dslash(u_pk, w, ODD, dagger)
+        return self._site(chi_e, dagger) - jnp.asarray(k * k,
+                                                      chi_e.dtype) * d2
+
+    def apply(self, u_pk, chi_e):
+        return self._apply(u_pk, chi_e, dagger=False)
+
+    def apply_dagger(self, u_pk, chi_e):
+        return self._apply(u_pk, chi_e, dagger=True)
+
+    def normal(self, u_pk, chi_e):
+        return self.apply_dagger(u_pk, self.apply(u_pk, chi_e))
+
+    def prepare(self, u_pk, b_pk):
+        """b [2fl, 2par, 2ri, 4, 3, T, Z, S] -> even doublet source."""
+        b_e, b_o = b_pk[:, 0], b_pk[:, 1]
+        t = self._site_inv(b_o, False)
+        d = self._dslash(u_pk, t, ODD, False)
+        return b_e + jnp.asarray(self.kappa, b_pk.dtype) * d
+
+    def reconstruct(self, u_pk, x_e, b_pk):
+        """x_o = A_oo^{-1} (b_o + k D_oe x_e) -> [2fl, 2par, ...]."""
+        d = self._dslash(u_pk, x_e, EVEN, False)
+        t = b_pk[:, 1] + jnp.asarray(self.kappa, x_e.dtype) * d
+        x_o = self._site_inv(t, False)
+        return jnp.stack([x_e, x_o], axis=1)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lv_p", "lv_m"], meta_fields=["kappa", "epsbar"])
 @dataclasses.dataclass

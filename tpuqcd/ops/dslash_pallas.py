@@ -66,8 +66,9 @@ def _auto_block_z(Z: int, S: int, itemsize: int,
 def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             lat: Lattice, parity: int, dagger: bool,
             epilogue: str, kappa: float, mu: float, flavor: int, Zb: int,
-            z_blocked: bool, compute_dtype, recon12: bool, t_boundary: int,
-            T_total: int, xpay_scale, dirs):
+            z_blocked: bool, compute_dtype, recon12: bool, recon8: bool,
+            t_boundary: int, T_total: int, xpay_scale, dirs,
+            has_toff: bool = False):
     """One [Zb, S] slab; see module docstring for the stencil plan."""
     rest = list(rest)
     if z_blocked:
@@ -75,6 +76,9 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         rest = rest[3:]
     else:
         psi_zp_ref = psi_zm_ref = u_zm_ref = None
+    if has_toff:
+        toff_ref = rest[0]
+        rest = rest[1:]
     if epilogue == "xpay":
         psi0_ref, out_ref = rest
     elif epilogue == "clover_inv":
@@ -103,11 +107,20 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     is_zlo = zi == 0
     is_zhi = zi == Zb - 1
 
+    def _roll(x, k, axis):
+        # Mosaic's tpu.dynamic_rotate only supports 32-bit element
+        # types; in bf16 compute mode the lane rotate runs on an exact
+        # f32 widening of the data (bf16 -> f32 -> bf16 is lossless)
+        if x.dtype.itemsize == 4:
+            return pltpu.roll(x, k, axis=axis)
+        return pltpu.roll(x.astype(jnp.float32), k,
+                          axis=axis).astype(x.dtype)
+
     def roll_s(x, k):
-        return pltpu.roll(x, k % S, axis=x.ndim - 1)
+        return _roll(x, k % S, axis=x.ndim - 1)
 
     def roll_z(x, k):
-        return pltpu.roll(x, k % Zb, axis=x.ndim - 2)
+        return _roll(x, k % Zb, axis=x.ndim - 2)
 
     def shift_fwd_xy(x, mu_):
         if mu_ == 1:                       # y
@@ -196,7 +209,13 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             return rec
         return (acc[0] + rec[0], acc[1] + rec[1])
 
-    R = 2 if recon12 else 3
+    R = 2 if recon12 else (4 if recon8 else 3)
+    C = 1 if recon8 else 3
+    compressed = recon12 or recon8
+    #: global t of the center timeslice (t-boundary phase condition is
+    #: GLOBAL under sharding; toff = shard offset scalar, SMEM)
+    t_glob = t + (toff_ref[0] if has_toff else 0)
+    T_glob = lat.Lt
 
     def recon_full(ur, ui, phase):
         """reconstruct-12: third row = phase * conj(row0 x row1).
@@ -223,21 +242,97 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         return (jnp.concatenate([ur, jnp.stack(r2r)[None]], axis=0),
                 jnp.concatenate([ui, jnp.stack(r2i)[None]], axis=0))
 
+    def recon8_full(x8, phase):
+        """reconstruct-8: 8 stored reals -> full 3x3 link (utils/packed.
+        pack_gauge8 parametrization; SURVEY.md C3 "reconstruct-12/-8";
+        reference gauge_field_order.h Reconstruct<8> role [U], different
+        parametrization — ours stores row0 (u01, u02, arg u00) plus the
+        (alpha, beta, gamma) angles of row1 in a canonical orthonormal
+        basis of row0's complement; row2 = phase * conj(row0 x row1)).
+
+        x8 [8, rows, S] -> (ur, ui) [3, 3, rows, S].
+        """
+        u01r, u01i, u02r, u02i, th00, al, be, ga = [x8[i]
+                                                   for i in range(8)]
+        a00 = jnp.sqrt(jnp.maximum(
+            1.0 - (u01r * u01r + u01i * u01i + u02r * u02r
+                   + u02i * u02i), 0.0))
+        u00r = a00 * jnp.cos(th00)
+        u00i = a00 * jnp.sin(th00)
+        # canonical complement basis (branch on the better-conditioned
+        # pivot; the SAME branch is derivable at pack time from stored
+        # magnitudes, utils/packed.pack_gauge8)
+        n1 = jnp.sqrt(jnp.maximum(a00 * a00 + u01r * u01r + u01i * u01i,
+                                  1e-30))
+        n2 = jnp.sqrt(jnp.maximum(a00 * a00 + u02r * u02r + u02i * u02i,
+                                  1e-30))
+        use1 = n1 >= n2
+        inv = jnp.where(use1, 1.0 / n1, 1.0 / n2)
+        # v1 = (-conj(u01), conj(u00), 0)/n1   or  (conj(u02), 0,
+        # -conj(u00))/n2
+        v1r = [jnp.where(use1, -u01r, u02r) * inv,
+               jnp.where(use1, u00r, 0.0) * inv,
+               jnp.where(use1, 0.0, -u00r) * inv]
+        v1i = [jnp.where(use1, u01i, -u02i) * inv,
+               jnp.where(use1, -u00i, 0.0) * inv,
+               jnp.where(use1, 0.0, u00i) * inv]
+        r0r = [u00r, u01r, u02r]
+        r0i = [u00i, u01i, u02i]
+        # v2 = conj(r0 x v1)
+        v2r, v2i = [], []
+        for i in range(3):
+            i1, i2 = (i + 1) % 3, (i + 2) % 3
+            cr = (r0r[i1] * v1r[i2] - r0i[i1] * v1i[i2]
+                  - r0r[i2] * v1r[i1] + r0i[i2] * v1i[i1])
+            ci = (r0r[i1] * v1i[i2] + r0i[i1] * v1r[i2]
+                  - r0r[i2] * v1i[i1] - r0i[i2] * v1r[i1])
+            v2r.append(cr)
+            v2i.append(-ci)
+        c1r = jnp.cos(al) * jnp.cos(be)
+        c1i = jnp.cos(al) * jnp.sin(be)
+        c2r = jnp.sin(al) * jnp.cos(ga)
+        c2i = jnp.sin(al) * jnp.sin(ga)
+        r1r = [c1r * v1r[i] - c1i * v1i[i] + c2r * v2r[i] - c2i * v2i[i]
+               for i in range(3)]
+        r1i = [c1r * v1i[i] + c1i * v1r[i] + c2r * v2i[i] + c2i * v2r[i]
+               for i in range(3)]
+        ur = jnp.stack([jnp.stack(r0r), jnp.stack(r1r)])
+        ui = jnp.stack([jnp.stack(r0i), jnp.stack(r1i)])
+        return recon_full(ur, ui, phase)
+
     def t_phase(at_boundary):
         """phase of the mu=t link row under antiperiodic BC (recon only)."""
-        if not recon12 or t_boundary == 1:
+        if not compressed or t_boundary == 1:
             return None
         return jnp.where(at_boundary, jnp.float32(t_boundary),
                          jnp.float32(1.0))
 
+    def _u_expand(ur, ui, phase):
+        # reconstruction (norms / trig) always runs in f32 — bf16 has too
+        # few mantissa bits for the unitarity constraint; the expanded
+        # link drops back to the compute dtype
+        if recon8:
+            # packed8 stores 4 (re, im)-style pairs [4, 1, 2, ...]:
+            # (u01, u02, (th00, alpha), (beta, gamma))
+            x8 = jnp.stack([ur[0, 0], ui[0, 0], ur[1, 0], ui[1, 0],
+                            ur[2, 0], ui[2, 0], ur[3, 0], ui[3, 0]])
+            er, ei = recon8_full(x8.astype(jnp.float32), phase)
+            return er.astype(f32), ei.astype(f32)
+        if recon12:
+            er, ei = recon_full(ur.astype(jnp.float32),
+                                ui.astype(jnp.float32), phase)
+            return er.astype(f32), ei.astype(f32)
+        return ur, ui
+
     def load_u(muu, par):
-        blk = u_ref[muu, par].reshape(R, 3, 2, Zb, S).astype(f32)
+        blk = u_ref[muu, par].reshape(R, C, 2, Zb, S).astype(f32)
         ur, ui = blk[:, :, 0], blk[:, :, 1]
-        if not recon12:
+        if not compressed:
             return ur, ui
-        # forward-t link lives at the center timeslice t
-        phase = t_phase(t == T_total - 1) if muu == 3 else None
-        return recon_full(ur, ui, phase)
+        # forward-t link lives at the center timeslice t (GLOBAL t for
+        # the boundary-phase condition — sharded shards pass t_offset)
+        phase = t_phase(t_glob == T_glob - 1) if muu == 3 else None
+        return _u_expand(ur, ui, phase)
 
     pr, pi = load_psi(psi_c_ref, Zb)
     acc = None
@@ -287,10 +382,9 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             zm_r, zm_i = load_psi(psi_zm_ref, Zb)
             hhr, hhi = proj(hpp[2], zm_r[:, :, Zb - 1:],
                             zm_i[:, :, Zb - 1:])
-            um = u_zm_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
+            um = u_zm_ref[...].reshape(R, C, 2, Zb, S).astype(f32)
             uzr, uzi = um[:, :, 0, Zb - 1:], um[:, :, 1, Zb - 1:]
-            if recon12:
-                uzr, uzi = recon_full(uzr, uzi, None)
+            uzr, uzi = _u_expand(uzr, uzi, None)
             ghr, ghi = su3_mv(uzr, uzi, hhr, hhi, dag=True)
             gr = jnp.where(is_zlo, ghr, roll_z(gr, +1))
             gi = jnp.where(is_zlo, ghi, roll_z(gi, +1))
@@ -309,11 +403,11 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     if (3, -1) in legs:
         prm, pim = load_psi(psi_m1_ref, Zb)
         hr, hi = proj(hpp[3], prm, pim)
-        um = u_tm1_ref[...].reshape(R, 3, 2, Zb, S).astype(f32)
+        um = u_tm1_ref[...].reshape(R, C, 2, Zb, S).astype(f32)
         utr, uti = um[:, :, 0], um[:, :, 1]
-        if recon12:
-            # backward-t link lives at t-1 = T-1 exactly when t == 0
-            utr, uti = recon_full(utr, uti, t_phase(t == 0))
+        # backward-t link lives at GLOBAL t-1 = T-1 exactly when the
+        # global center t is 0
+        utr, uti = _u_expand(utr, uti, t_phase(t_glob == 0))
         hr, hi = su3_mv(utr, uti, hr, hi, dag=True)
         acc = recon_accum(hrp[3], hr, hi, acc)
 
@@ -396,7 +490,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     static_argnames=("src_parity", "lat", "dagger", "epilogue", "kappa",
                      "mu", "flavor", "block_z", "interpret", "local_dims",
                      "halo_t", "halo_z", "t_boundary", "xpay_scale",
-                     "dirs"))
+                     "dirs", "compute"))
 def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      lat: Lattice, dagger: bool = False,
                      epilogue: str = "none", kappa: float = 0.0,
@@ -410,7 +504,9 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      halo_z: bool = False,
                      t_boundary: int = -1,
                      xpay_scale: float | None = None,
-                     dirs: tuple | None = None) -> jax.Array:
+                     dirs: tuple | None = None,
+                     t_offset: jax.Array | None = None,
+                     compute: str = "f32") -> jax.Array:
     """Packed-real even-odd Dslash with fused site-term epilogues.
 
     u_pk [4,2,3,3,2,T,Z,S] full, or [4,2,2,3,2,T,Z,S] reconstruct-12
@@ -442,11 +538,18 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     Xh = lat.Lx // 2
     S = Y * Xh
     T, Z = local_dims if local_dims is not None else (lat.Lt, lat.Lz)
-    R = u_pk.shape[2]
-    recon12 = R == 2
-    if recon12 and halo_t:
-        raise ValueError("reconstruct-12 gauge is not supported with "
-                         "halo_t (use full links on the T-sharded path)")
+    R, C = u_pk.shape[2], u_pk.shape[3]
+    recon12 = (R == 2 and C == 3)
+    recon8 = (R == 4 and C == 1)
+    if (recon12 or recon8) and t_offset is None and (
+            halo_t or (local_dims is not None
+                       and local_dims[0] != lat.Lt)):
+        # the t-boundary recon phase is a GLOBAL-t condition; shards
+        # must pass their t offset (a traced scalar is fine — it rides
+        # into the kernel as an SMEM operand)
+        raise ValueError(
+            "compressed gauge on a T-sharded path needs t_offset (the "
+            "shard's global T offset, e.g. axis_index('t') * Tl)")
     p = src_parity
     if block_z is None:
         block_z = _auto_block_z(Z, S, psi_pk.dtype.itemsize)
@@ -500,10 +603,10 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         spin_spec(lambda t: t),
         spin_spec(t_p1),
         spin_spec(t_m1),
-        pl.BlockSpec((4, 2, R, 3, 2, 1, Zb, S),
+        pl.BlockSpec((4, 2, R, C, 2, 1, Zb, S),
                      lambda t, zb: (0, 0, 0, 0, 0, t, zb, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, R, 3, 2, 1, Zb, S),
+        pl.BlockSpec((1, 1, R, C, 2, 1, Zb, S),
                      lambda t, zb: (3, p, 0, 0, 0, t_m1_u(t), zb, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -518,11 +621,17 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         in_specs += [
             spin_spec(lambda t: t, lambda t, zb: z_p1(zb)),
             spin_spec(lambda t: t, lambda t, zb: z_m1(zb)),
-            pl.BlockSpec((1, 1, R, 3, 2, 1, Zb, S),
+            pl.BlockSpec((1, 1, R, C, 2, 1, Zb, S),
                          lambda t, zb: (2, p, 0, 0, 0, t, z_m1_u(zb), 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [psi_pk, psi_pk, u_pk]
+    has_toff = t_offset is not None
+    if has_toff:
+        # shard's global T offset as an SMEM scalar (recon t-boundary
+        # phase is a global-t condition; see the ValueError above)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(t_offset, jnp.int32).reshape(1))
     if epilogue == "xpay":
         if psi0_pk is None:
             raise ValueError("xpay epilogue needs psi0_pk")
@@ -549,17 +658,26 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
     # in-kernel f32 intermediates, + fixed headroom.
     block_bytes = sum(
         int(np.prod(sp.block_shape)) * max(op.dtype.itemsize, 4)
-        for sp, op in zip(in_specs, operands))
+        for sp, op in zip(in_specs, operands)
+        if sp.block_shape is not None)
     block_bytes += int(np.prod(spinor_block)) * max(psi_pk.dtype.itemsize,
                                                     4)
     vmem_limit = max(17 * 2**20, 3 * block_bytes + 4 * 2**20)
 
     z_blocked = (Zb < Z) or halo_z
+    # compute="bf16": full-bf16 VPU arithmetic (loads stay un-upcast, the
+    # 8-leg accumulation and epilogue run in bf16).  ~2% relative error —
+    # the MG smoother dtype (VERDICT r1 weak #2); compressed-link recon
+    # trig still runs in f32 (see _u_expand).
+    cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
+    if compute == "bf16" and psi_pk.dtype != jnp.bfloat16:
+        raise ValueError("compute='bf16' needs bf16 spinor storage")
     kern = functools.partial(
         _kernel, lat=lat, parity=p, dagger=dagger, epilogue=epilogue,
         kappa=kappa, mu=mu, flavor=flavor, Zb=Zb, z_blocked=z_blocked,
-        compute_dtype=jnp.float32, recon12=recon12, t_boundary=t_boundary,
-        T_total=T, xpay_scale=xpay_scale, dirs=dirs)
+        compute_dtype=cdt, recon12=recon12, recon8=recon8,
+        t_boundary=t_boundary, T_total=T, xpay_scale=xpay_scale,
+        dirs=dirs, has_toff=has_toff)
 
     flops = 1320 * (Z * S) * T
     bytes_acc = psi_pk.size * psi_pk.dtype.itemsize * 4 + \

@@ -69,7 +69,9 @@ class LatticeMesh:
         return NamedSharding(self.mesh, self.gauge_spec())
 
     def shard_spinor(self, psi_pk: jax.Array) -> jax.Array:
-        return jax.device_put(psi_pk, self.spinor_sharding())
+        from .dist import global_put
+        return global_put(psi_pk, self.spinor_sharding())
 
     def shard_gauge(self, u_pk: jax.Array) -> jax.Array:
-        return jax.device_put(u_pk, self.gauge_sharding())
+        from .dist import global_put
+        return global_put(u_pk, self.gauge_sharding())

@@ -119,6 +119,8 @@ class ShardedTMOperatorPC:
         Tl, Zl = self.lmesh.local_dims
         Zb = self._zb()
         if self.overlap:
+            assert u_ext.shape[2] == 3, \
+                "overlap mode needs full links (slab repairs are 3x3)"
             from ..operators import twist_apply_pk, twist_inv_apply_pk
             from .overlap import dslash_overlap
             d = dslash_overlap(u_ext, psi_loc, parity, self.lat,
@@ -135,11 +137,16 @@ class ShardedTMOperatorPC:
             return d
         psi_ext = _exchange_t(psi_loc, tn)
         psi_ext = _exchange_z(psi_ext, zn, Zb)
+        # compressed links (reconstruct-12/-8): the rebuilt-row boundary
+        # phase is a GLOBAL-t condition, so pass this shard's T offset
+        toff = (jax.lax.axis_index("t") * Tl
+                if u_ext.shape[2] != 3 else None)
         return dslash_eo_pallas(
             u_ext, psi_ext, parity, self.lat, dagger=dagger,
             epilogue=epilogue, kappa=self.kappa, mu=self.mu, flavor=flavor,
             psi0_pk=psi0_loc, block_z=Zb, interpret=self.interpret,
-            local_dims=(Tl, Zl), halo_t=True, halo_z=True)
+            local_dims=(Tl, Zl), halo_t=True, halo_z=True,
+            t_offset=toff)
 
     # --- shard_map plumbing ---------------------------------------------
     def _smap(self, fn, n_spinor_in: int, has_gauge=True):

@@ -142,6 +142,66 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     return SolveResult(x=x, relres=relres, iters=iters)
 
 
+def solve_tm_sharded(op_s, op_hp, fields_s, fields_hp, b_pk: jax.Array,
+                     *, tol: float = 1e-10, maxiter: int = 5000,
+                     inner_tol: float = 1e-5,
+                     solver: str = "cg") -> SolveResult:
+    """Mixed-precision solve of the full TM(-clover) system on a
+    MULTI-CHIP mesh (the config-5 sharded solve path; reference:
+    `invertQuda` under `mpirun --gridsize` [U], SURVEY.md §4.2/§6.8).
+
+    op_s: parallel.sharded.ShardedTMOperatorPC or
+    ShardedTMCloverOperatorPC (the sloppy iteration operator, fused
+    kernels); op_hp: its dtype-generic twin for the f64 certification
+    (overlap=True, backend="xla" — the Pallas kernel computes in f32).
+    fields_s / fields_hp: their operand pytrees (extended gauge
+    [+ clover]) in sloppy / f64 dtypes; b_pk: sharded packed source
+    [2(par), 2(ri), 4, 3, T, Z, S].
+    """
+    hp = jnp.float64
+    b_hp = b_pk.astype(hp)
+    bhat = op_hp.prepare(fields_hp, b_hp)
+    x_e, relres, iters = _refined_solve(
+        op_s, op_hp, fields_s, fields_hp, bhat, tol=tol, maxiter=maxiter,
+        inner_tol=inner_tol, solver=solver)
+    x = op_hp.reconstruct(fields_hp, x_e, b_hp)
+    return SolveResult(x=x, relres=relres, iters=iters)
+
+
+def solve_ndeg_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
+                  kappa: float, mubar: float, epsbar: float,
+                  tol: float = 1e-10, maxiter: int = 5000,
+                  inner_tol: float = 1e-5, sloppy_dtype=jnp.float32,
+                  backend: str = "pallas",
+                  interpret: bool = False) -> SolveResult:
+    """Solve the full NON-DEGENERATE twisted-mass doublet system
+    M_nd chi = b (heavy s/c pair; reference
+    `dslash_ndeg_twisted_mass.cu` solves via `invertQuda` with
+    QUDA_TWIST_NONDEG_DOUBLET [U]; SURVEY.md C5).
+
+    b_pk: packed doublet [2(flavor), 2(par), 2(ri), 4, 3, T, Z, S].
+    Same mixed-precision defect-correction structure as solve_tm (CG on
+    the normal equations of the even-odd Schur complement; f64
+    certification).
+    """
+    from .operators import PackedNdegTMOperatorPC
+    hp = jnp.float64
+    pc_s = PackedNdegTMOperatorPC(lat, kappa=kappa, mubar=mubar,
+                                  epsbar=epsbar, backend=backend,
+                                  interpret=interpret)
+    pc_hp = PackedNdegTMOperatorPC(lat, kappa=kappa, mubar=mubar,
+                                   epsbar=epsbar, backend="xla")
+    u_s = u_pk.astype(sloppy_dtype)
+    u_hp = u_pk.astype(hp)
+    b_hp = b_pk.astype(hp)
+    bhat = pc_hp.prepare(u_hp, b_hp)
+    x_e, relres, iters = _refined_solve(
+        pc_s, pc_hp, u_s, u_hp, bhat, tol=tol, maxiter=maxiter,
+        inner_tol=inner_tol, solver="cg")
+    x = pc_hp.reconstruct(u_hp, x_e, b_hp)
+    return SolveResult(x=x, relres=relres, iters=iters)
+
+
 def full_system_relres(u_pk: jax.Array, b_pk: jax.Array, x_pk: jax.Array,
                        lat: Lattice, *, kappa: float, mu: float,
                        flavor: int = +1, csw: float = 0.0,

@@ -31,6 +31,11 @@ class ActionParams:
     kappa: float = 0.12
     mu: float = 0.05
     csw: float = 0.0                     # 0 = plain twisted mass
+    #: non-degenerate (heavy s/c) doublet: epsbar != 0 selects the
+    #: ndeg operator M_nd = 1 + 2 i kappa mubar g5 tau3 + 2 kappa
+    #: epsbar tau1 - kappa D (run_invert path)
+    mubar: float = 0.0
+    epsbar: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -139,6 +144,18 @@ def validate_config(cfg: "RunConfig") -> None:
         err("solver.solver: eigcg supports the plain twisted-mass "
             "operator only; with action.csw != 0 use mg.enabled or "
             "solver: cg/bicgstab")
+    if cfg.action.epsbar != 0.0:
+        t = 2.0 * cfg.action.kappa * cfg.action.mubar
+        e = 2.0 * cfg.action.kappa * cfg.action.epsbar
+        if 1.0 + t * t - e * e <= 0.0:
+            err(f"ndeg doublet needs 1 + (2 k mubar)^2 > (2 k epsbar)^2 "
+                f"for the site-term inverse; got mubar="
+                f"{cfg.action.mubar}, epsbar={cfg.action.epsbar}")
+        if cfg.mg.enabled or cfg.solver.solver == "eigcg" \
+                or cfg.action.csw != 0.0:
+            err("the ndeg doublet path (action.epsbar != 0) supports "
+                "the plain mixed-precision CG solver only (no mg/eigcg/"
+                "csw yet)")
 
     if cfg.mg.enabled:
         if len(cfg.mg.n_vec) != len(cfg.mg.block):
