@@ -192,6 +192,31 @@ def test_pallas_dirs_single_leg():
                                atol=5e-5)
 
 
+def test_pallas_legs_out():
+    """legs_out multi-leg mode: ONE kernel pass returns all 8 leg
+    contributions separately (the MG Galerkin probing fast path) — each
+    slot matches the dirs-filtered single-leg call, in the canonical
+    mu-major +1-before--1 order, and the slots sum to the full Dslash."""
+    from tpuqcd.ops.dslash_xla import dslash_eo_dev_ri
+    u, psi = _setup()
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    legs = dslash_eo_pallas(u_pk, psi_pk, EVEN, LAT, legs_out=True,
+                            interpret=True)
+    assert legs.shape[0] == 8
+    idx = 0
+    for mu in range(4):
+        for sign in (+1, -1):
+            want = dslash_eo_dev_ri(u_pk, psi_pk, EVEN, LAT,
+                                    dirs=((mu, sign),))
+            np.testing.assert_allclose(np.asarray(legs[idx]),
+                                       np.asarray(want), atol=2e-5,
+                                       err_msg=f"mu={mu} sign={sign}")
+            idx += 1
+    full = dslash_eo_pallas(u_pk, psi_pk, EVEN, LAT, interpret=True)
+    np.testing.assert_allclose(np.asarray(legs.sum(axis=0)),
+                               np.asarray(full), atol=5e-5)
+
+
 def test_pack_gauge8_roundtrip():
     """unpack(pack8) reproduces the SU(3) links exactly (unphased gauge;
     boundary-phased links differ only in the rebuilt row2 phase, which

@@ -146,6 +146,35 @@ def test_galerkin_identity_fine():
 
 
 @pytest.mark.slow
+def test_galerkin_identity_odd_coarse_dims():
+    """Probing == R A P at ODD coarse extents (dims_c carries 3s).
+
+    Regression for the v1 per-mu parity masks, which are invalid across
+    the periodic wrap at odd extents (first and last coarse site share
+    parity but are neighbors): the wrap-link columns were silently
+    dropped into the diagonal, so the coarse operator disagreed with
+    R A P on any vector varying along the wrapped direction.  The
+    global 3-coloring (mg/device._coarse_colors) makes this exact; this
+    is the coarse geometry of the production config 3 (24^3x48 ->
+    level-2 dims (3, 3, 3, 6))."""
+    lat = Lattice((4, 4, 6, 6))
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(21), lat), lat)
+    dev = DeviceFineLevel(lat, pack_gauge(u), KAPPA, MU, backend="xla")
+    nulls = jnp.stack([dev.random_field(k)
+                       for k in jax.random.split(jax.random.PRNGKey(22),
+                                                 3)])
+    tr = DeviceFineTransfer(lat, (2, 2, 2, 2), nulls)
+    assert any(n % 2 for n in tr.dims_c), tr.dims_c  # exercises 3-color
+    coarse = build_coarse_device(dev, tr)
+    vc = coarse.random_field(jax.random.PRNGKey(23))
+    got = coarse.apply(vc)
+    want = tr.restrict(dev.apply(tr.prolong(vc)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_galerkin_identity_coarse_level():
     """Second coarsening: DeviceCoarseTransfer + probing on a coarse
     level reproduce R A_1 P."""

@@ -9,6 +9,7 @@ test."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuqcd import su3
 from tpuqcd.fields import apply_boundary_phase_dev, random_spinor_dev
@@ -65,3 +66,31 @@ def test_overlap_matches_single_device(cpu_devices):
         np.asarray(x),
         np.asarray(ref_op.reconstruct(u_pk, bhat_ref, b_pk)),
         atol=5e-5, err_msg="reconstruct")
+
+
+@pytest.mark.slow
+def test_overlap_pallas_fused_epilogue(cpu_devices):
+    """Pallas interior WITH the fused epilogue (kernel_kwargs path) +
+    slab corrections == single-device, on a t-only (2,1) mesh.
+
+    The xla-backend test above proves the correction-transform math
+    (epi_full/epi_corr); this one proves the same epilogues fuse into
+    the interpret-mode Pallas interior (kernel_kwargs plumbing), which
+    is the production multi-chip configuration."""
+    lat = Lattice((4, 4, 2, 4))
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
+    psi = random_spinor_dev(jax.random.PRNGKey(1), lat, parities=1)
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    ref_op = PackedTMOperatorPC(lat, kappa=KAPPA, mu=MU, backend="xla")
+
+    lmesh = LatticeMesh.make(lat, 2, 1, devices=cpu_devices[:2])
+    op = ShardedTMOperatorPC(lat, lmesh, kappa=KAPPA, mu=MU,
+                             backend="pallas", interpret=True,
+                             block_z=2, overlap=True)
+    u_ext = jax.jit(op.extend_gauge)(lmesh.shard_gauge(u_pk))
+    psi_sh = lmesh.shard_spinor(psi_pk)
+    out = jax.jit(op.apply)(u_ext, psi_sh)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref_op.apply(u_pk, psi_pk)),
+                               atol=5e-5)

@@ -348,6 +348,32 @@ def make_solver(cfg, lat, u_pk, u_full):
         from ..parallel.sharded import (ShardedTMCloverOperatorPC,
                                         ShardedTMOperatorPC)
         from ..solve import make_clover_fields, solve_tm_sharded
+
+        def _resolve_policy(op_fused, fields, probe_shape):
+            """comm_policy knob -> overlap bool (tune on real TPUs)."""
+            if cfg.solver.backend == "xla":
+                return True      # xla interior IS the overlap form
+            pol = cfg.solver.comm_policy
+            if pol in ("fused", "overlap"):
+                return pol == "overlap"
+            n_dev = lmesh.nt * lmesh.nz
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            if n_dev == 1 or not on_tpu:
+                # single shard has no comms to hide; off-hardware
+                # timings are meaningless — heuristic: fused
+                return False
+            from ..utils.tune import tune_comm_policy
+            op_over = _dc.replace(op_fused, overlap=True)
+            b = _put(jnp.ones(probe_shape, jnp.float32))
+            tag = "clover" if csw != 0.0 else "tm"
+            winner = tune_comm_policy(
+                lat, lmesh,
+                {"fused": lambda x: op_fused.apply(fields, x),
+                 "overlap": lambda x: op_over.apply(fields, x)},
+                b, tag=tag)
+            log.info("comm_policy auto -> %s", winner)
+            return winner == "overlap"
+
         overlap_s = cfg.solver.backend == "xla"
         ops = {}
         if csw != 0.0:
@@ -381,6 +407,13 @@ def make_solver(cfg, lat, u_pk, u_full):
                 lmesh.shard_gauge(u_pk.astype(jnp.float32)))
             fields_s = u_ext.astype(sloppy)
             fields_hp = u_ext.astype(jnp.float64)
+        if cfg.solver.backend == "pallas":
+            S = lat.Ly * lat.Lx // 2
+            ov = _resolve_policy(ops[+1][0], fields_s,
+                                 (2, 4, 3, lat.Lt, lat.Lz, S))
+            if ov != overlap_s:
+                ops = {fl: (_dc.replace(o, overlap=ov), hp)
+                       for fl, (o, hp) in ops.items()}
 
         @partial(jax.jit, static_argnums=(0, 1))
         def _sharded_jit(op_s, op_hp, fs, fhp, b_sh):

@@ -141,6 +141,28 @@ class DeviceFineLevel:
             return _hop_full_pallas(self, v, mu, sign)
         return _hop_full(self.u_pk, self.lat, self.kappa, v, mu, sign)
 
+    def apply_hop_all(self, v: jax.Array) -> jax.Array:
+        """All 8 single-leg hop terms of M (incl. -kappa), both
+        parities, in _LEG_ORDER -> [8, 2ri, 2par, 4, 3, T, Z, S].
+
+        Pallas path: ONE legs_out kernel pass per source parity —
+        gauge + spinor read once for all 8 legs (the Galerkin-probing
+        hot loop; the per-leg `dirs` path pays full operand traffic
+        8 times over)."""
+        if self.backend == "pallas":
+            from ..ops.dslash_pallas import dslash_eo_pallas
+            ve = jnp.stack([v[0, 0], v[1, 0]])
+            vo = jnp.stack([v[0, 1], v[1, 1]])
+            de = dslash_eo_pallas(self.u12_pk, vo, 1, self.lat,
+                                  legs_out=True, interpret=self.interpret,
+                                  t_boundary=self.t_boundary)
+            do = dslash_eo_pallas(self.u12_pk, ve, 0, self.lat,
+                                  legs_out=True, interpret=self.interpret,
+                                  t_boundary=self.t_boundary)
+            return -self.kappa * jnp.stack([de, do], axis=2)
+        return jnp.stack([self.apply_hop(v, m, s)
+                          for (m, s) in _LEG_ORDER])
+
     def as_hp(self) -> "DeviceFineLevel":
         """XLA-backend twin for f64 defect-correction residuals (f32
         gauge entries promote exactly into f64 hop products)."""
@@ -257,6 +279,10 @@ class DeviceFineCloverLevel:
         if self.backend == "pallas":
             return _hop_full_pallas(self, v, mu, sign)
         return _hop_full(self.u_pk, self.lat, self.kappa, v, mu, sign)
+
+    # the hop term is clover-independent, so the multi-leg probing
+    # pass is identical to the plain fine level's
+    apply_hop_all = DeviceFineLevel.apply_hop_all
 
     def as_hp(self) -> "DeviceFineCloverLevel":
         return dataclasses.replace(self, backend="xla", u12_pk=None)
@@ -567,52 +593,88 @@ class DeviceCoarseTransfer(_LinvMixin):
 # Galerkin coarse construction (colored probing, device)
 # --------------------------------------------------------------------------
 
-def _mu_parity_masks(dims_c):
-    """[4] masks [Tc, Zc, Sc] of the mu-coordinate parity (f32 0/1)."""
+#: canonical leg order (matches ops/dslash_pallas legs_out order)
+_LEG_ORDER = tuple((m, s) for m in range(4) for s in (+1, -1))
+
+
+def _coarse_colors(dims_c):
+    """Distance-1 coloring of the periodic coarse grid.
+
+    Per-dim colors alternate 0/1, with the LAST site of an odd extent
+    (> 1) recolored 2 — the simple coordinate parity is INVALID across
+    the periodic wrap at odd extents (first and last site share parity
+    but are neighbors), which silently dropped the wrap-link columns
+    into the diagonal in the v1 per-mu masks.  The global color is the
+    per-dim sum mod 3 when any dim needs three colors, else mod 2:
+    neighbors differ by the changed dim's color step (+-1 or +-2),
+    nonzero under either modulus.  Extent-1 dims contribute 0 — their
+    self-wrap hop lands on the SAME block (same color), so it is masked
+    out of the links and folded into the diagonal by the full-probe
+    subtraction, which is where a self-coupling belongs.
+
+    -> (colors [Tc, Zc, Sc] int32, n_colors).
+    """
     Tc, Zc, Yc, Xc = dims_c
-    t = np.arange(Tc)[:, None, None]
-    z = np.arange(Zc)[None, :, None]
-    s = np.arange(Yc * Xc)[None, None, :]
-    y, x = s // Xc, s % Xc
-    coords = (x, y, z, t)
-    return [np.broadcast_to(coords[mu] % 2,
-                            (Tc, Zc, Yc * Xc)).astype(np.float32)
-            for mu in range(4)]
+
+    def dim_color(n):
+        c = np.arange(n) % 2
+        if n % 2 and n > 1:
+            c[n - 1] = 2
+        return c
+
+    n_col = 3 if any(n % 2 and n > 1 for n in (Tc, Zc, Yc, Xc)) else 2
+    s = np.arange(Yc * Xc)
+    col = (dim_color(Tc)[:, None, None]
+           + dim_color(Zc)[None, :, None]
+           + (dim_color(Yc)[s // Xc] + dim_color(Xc)[s % Xc]
+              )[None, None, :]) % n_col
+    return col.astype(np.int32), n_col
 
 
 def _probe_color(level, transfer, ek):
     """ek one-hot [n_c] -> (fwd[4], bwd[4], full) coarse columns.
+
+    Global distance-1 coloring: one masked source feeds ALL 8 hop legs
+    at once, so the fine hops run through the multi-leg kernel pass
+    (dslash_pallas legs_out — gauge + spinor read ONCE per color class
+    instead of once per (mu, parity, sign): ~8x fewer kernel launches
+    and ~3x less probing HBM traffic than the v1 per-mu masks, and
+    correct at odd coarse extents where those masks were not).
 
     level/transfer are pytree arguments (NOT closure captures — see the
     DeviceFineLevel pytree note)."""
     Tc, Zc, Yc, Xc = transfer.dims_c
     Sc = Yc * Xc
     n_c = transfer.n_c
-    masks = [jnp.asarray(m) for m in _mu_parity_masks(transfer.dims_c)]
+    colors_np, n_col = _coarse_colors(transfer.dims_c)
+    colors = jnp.asarray(colors_np)
     base = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
     base = base.at[0].set(ek[:, None, None, None])
-    fwd, bwd = [], []
-    for mu in range(4):
-        cf = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
-        cb = jnp.zeros_like(cf)
-        for par in (0, 1):
-            src_mask = (masks[mu] == par).astype(jnp.float32)
-            dst_mask = 1.0 - src_mask
-            src = base * src_mask
-            vf = transfer.prolong(src)
-            wf = transfer.restrict(level.apply_hop(vf, mu, +1))
-            cf = cf + wf * dst_mask
-            wb = transfer.restrict(level.apply_hop(vf, mu, -1))
-            cb = cb + wb * dst_mask
-        fwd.append(cf)
-        bwd.append(cb)
+    fwd = [None] * 4
+    bwd = [None] * 4
+    for c in range(n_col):
+        src = base * (colors == c).astype(jnp.float32)
+        vf = transfer.prolong(src)
+        hop_all = getattr(level, "apply_hop_all", None)
+        if hop_all is not None:
+            hops = hop_all(vf)
+        else:
+            hops = jnp.stack([level.apply_hop(vf, m, s)
+                              for (m, s) in _LEG_ORDER])
+        dst = (colors != c).astype(jnp.float32)
+        for idx, (m, sgn) in enumerate(_LEG_ORDER):
+            w = transfer.restrict(hops[idx]) * dst
+            if sgn > 0:
+                fwd[m] = w if fwd[m] is None else fwd[m] + w
+            else:
+                bwd[m] = w if bwd[m] is None else bwd[m] + w
     full = transfer.restrict(level.apply(transfer.prolong(base)))
     return jnp.stack(fwd), jnp.stack(bwd), full
 
 
 # probe a CHUNK of coarse colors in one jitted program.  Measured on the
-# v5e: chunk=1 wins (57 s RAP at 32^3x64) — the vmapped graph compiles
-# and runs ~4x slower (247 s), so batching stays opt-in.
+# v5e (v1 per-mu probing): chunk=1 wins — the vmapped graph compiles and
+# runs ~4x slower — so batching stays opt-in.
 _probe_colors = jax.jit(jax.vmap(_probe_color, in_axes=(None, None, 0)))
 
 

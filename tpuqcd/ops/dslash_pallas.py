@@ -68,7 +68,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             epilogue: str, kappa: float, mu: float, flavor: int, Zb: int,
             z_blocked: bool, compute_dtype, recon12: bool, recon8: bool,
             t_boundary: int, T_total: int, xpay_scale, dirs,
-            has_toff: bool = False):
+            has_toff: bool = False, legs_out: bool = False):
     """One [Zb, S] slab; see module docstring for the stencil plan."""
     rest = list(rest)
     if z_blocked:
@@ -338,6 +338,18 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     acc = None
     legs = dirs if dirs is not None else tuple(
         (m_, s_) for m_ in range(4) for s_ in (+1, -1))
+    # legs_out: collect each leg's reconstructed contribution separately
+    # (in the kernel's textual mu-major, +1-before--1 order) instead of
+    # accumulating — the MG Galerkin probing reads all 8 hop terms of
+    # one source in a single pass (one gauge+spinor read for 8 legs)
+    leg_list = []
+
+    def _acc(tab, hr, hi, acc):
+        rec = recon_accum(tab, hr, hi, None if legs_out else acc)
+        if legs_out:
+            leg_list.append(rec)
+            return acc
+        return rec
 
     # ---- x, y: fully in-slab -------------------------------------------
     for mu_ in range(2):
@@ -346,14 +358,14 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             hr, hi = shift_fwd_xy(hr, mu_), shift_fwd_xy(hi, mu_)
             u_re, u_im = load_u(mu_, q)
             hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
-            acc = recon_accum(hrm[mu_], hr, hi, acc)
+            acc = _acc(hrm[mu_], hr, hi, acc)
 
         if (mu_, -1) in legs:
             hr, hi = proj(hpp[mu_], pr, pi)
             u_re, u_im = load_u(mu_, p)
             hr, hi = su3_mv(u_re, u_im, hr, hi, dag=True)
             hr, hi = shift_bwd_xy(hr, mu_), shift_bwd_xy(hi, mu_)
-            acc = recon_accum(hrp[mu_], hr, hi, acc)
+            acc = _acc(hrp[mu_], hr, hi, acc)
 
     # ---- z: in-slab roll (+ neighbor-slab halo rows when Z is blocked) --
     blocked = psi_zp_ref is not None
@@ -370,7 +382,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             hr, hi = roll_z(hr, -1), roll_z(hi, -1)
         u_re, u_im = load_u(2, q)
         hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
-        acc = recon_accum(hrm[2], hr, hi, acc)
+        acc = _acc(hrm[2], hr, hi, acc)
 
     if (2, -1) in legs:
         # backward: (1+gz) U_z(x-z)|p^dag psi(x-z)
@@ -390,7 +402,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
             gi = jnp.where(is_zlo, ghi, roll_z(gi, +1))
         else:
             gr, gi = roll_z(gr, +1), roll_z(gi, +1)
-        acc = recon_accum(hrp[2], gr, gi, acc)
+        acc = _acc(hrp[2], gr, gi, acc)
 
     # ---- t: via the t+-1 slab refs -------------------------------------
     if (3, +1) in legs:
@@ -398,7 +410,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         hr, hi = proj(hpm[3], pr1, pi1)
         u_re, u_im = load_u(3, q)
         hr, hi = su3_mv(u_re, u_im, hr, hi, dag=False)
-        acc = recon_accum(hrm[3], hr, hi, acc)
+        acc = _acc(hrm[3], hr, hi, acc)
 
     if (3, -1) in legs:
         prm, pim = load_psi(psi_m1_ref, Zb)
@@ -409,7 +421,13 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
         # global center t is 0
         utr, uti = _u_expand(utr, uti, t_phase(t_glob == 0))
         hr, hi = su3_mv(utr, uti, hr, hi, dag=True)
-        acc = recon_accum(hrp[3], hr, hi, acc)
+        acc = _acc(hrp[3], hr, hi, acc)
+
+    if legs_out:
+        # [n_legs, 2(ri), 4, 3, Zb, S] -> block shape [.., 1, Zb, S]
+        outs = jnp.stack([jnp.stack([r_, i_]) for (r_, i_) in leg_list])
+        out_ref[...] = outs.reshape(out_ref.shape).astype(out_ref.dtype)
+        return
 
     if acc is None:
         z_ = jnp.zeros((4, 3, Zb, S), f32)
@@ -490,7 +508,7 @@ def _kernel(psi_c_ref, psi_p1_ref, psi_m1_ref, u_ref, u_tm1_ref, *rest,
     static_argnames=("src_parity", "lat", "dagger", "epilogue", "kappa",
                      "mu", "flavor", "block_z", "interpret", "local_dims",
                      "halo_t", "halo_z", "t_boundary", "xpay_scale",
-                     "dirs", "compute"))
+                     "dirs", "compute", "legs_out"))
 def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      lat: Lattice, dagger: bool = False,
                      epilogue: str = "none", kappa: float = 0.0,
@@ -506,7 +524,8 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
                      xpay_scale: float | None = None,
                      dirs: tuple | None = None,
                      t_offset: jax.Array | None = None,
-                     compute: str = "f32") -> jax.Array:
+                     compute: str = "f32",
+                     legs_out: bool = False) -> jax.Array:
     """Packed-real even-odd Dslash with fused site-term epilogues.
 
     u_pk [4,2,3,3,2,T,Z,S] full, or [4,2,2,3,2,T,Z,S] reconstruct-12
@@ -645,8 +664,21 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         operands.append(clover_pk)
         in_specs.append(spin_spec(lambda t: t))
         operands.append(psi0_pk)
-    out_spec = pl.BlockSpec(spinor_block, lambda t, zb: (0, 0, 0, t, zb, 0),
-                            memory_space=pltpu.VMEM)
+    if legs_out:
+        # per-leg hop outputs for the MG Galerkin probing: one pass
+        # reads gauge+spinor once and writes len(legs) separated leg
+        # contributions (canonical mu-major, +1-before--1 order)
+        if epilogue != "none":
+            raise ValueError("legs_out composes with epilogue='none' only")
+        n_legs = len(dirs) if dirs is not None else 8
+        out_spec = pl.BlockSpec(
+            (n_legs,) + spinor_block,
+            lambda t, zb: (0, 0, 0, 0, t, zb, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec(spinor_block,
+                                lambda t, zb: (0, 0, 0, t, zb, 0),
+                                memory_space=pltpu.VMEM)
 
     # Scoped-VMEM limit: JUST enough headroom over the block footprint.
     # Mosaic treats the limit as an allocation target — a blanket 100 MB
@@ -661,7 +693,9 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         for sp, op in zip(in_specs, operands)
         if sp.block_shape is not None)
     block_bytes += int(np.prod(spinor_block)) * max(psi_pk.dtype.itemsize,
-                                                    4)
+                                                    4) * \
+        (len(dirs) if legs_out and dirs is not None
+         else (8 if legs_out else 1))
     vmem_limit = max(17 * 2**20, 3 * block_bytes + 4 * 2**20)
 
     z_blocked = (Zb < Z) or halo_z
@@ -677,12 +711,17 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
         kappa=kappa, mu=mu, flavor=flavor, Zb=Zb, z_blocked=z_blocked,
         compute_dtype=cdt, recon12=recon12, recon8=recon8,
         t_boundary=t_boundary, T_total=T, xpay_scale=xpay_scale,
-        dirs=dirs, has_toff=has_toff)
+        dirs=dirs, has_toff=has_toff, legs_out=legs_out)
 
     flops = 1320 * (Z * S) * T
     bytes_acc = psi_pk.size * psi_pk.dtype.itemsize * 4 + \
         u_pk.size * u_pk.dtype.itemsize
-    out_shape = jax.ShapeDtypeStruct((2, 4, 3, T, Z, S), psi_pk.dtype)
+    if legs_out:
+        n_legs = len(dirs) if dirs is not None else 8
+        out_shape = jax.ShapeDtypeStruct((n_legs, 2, 4, 3, T, Z, S),
+                                         psi_pk.dtype)
+    else:
+        out_shape = jax.ShapeDtypeStruct((2, 4, 3, T, Z, S), psi_pk.dtype)
 
     # Mosaic lowering recurses fatally on 64-bit scalars that leak in under
     # jax_enable_x64; trace the kernel with x64 semantics off (operands are

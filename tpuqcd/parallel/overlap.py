@@ -16,10 +16,17 @@ The corrections are exact by linearity of the hop term, cost O(surface)
 elementwise work, and depend only on the exchanged slabs — the data-flow
 graph the scheduler needs for overlap, without hand-written async DMA.
 
-Epilogues are applied as separate elementwise passes in this mode (the
-fused-epilogue kernel would bake the un-corrected hops into the site
-terms); one extra HBM pass is the price of the split, recovered on
-multi-chip meshes where the halo latency dominates.
+Epilogues stay FUSED in this mode: every epilogue E is affine in the
+hop result d — E(d) = a + L d with a site-local linear part L
+(L = A^{-1} for twist_inv, C^{-1} for clover_inv, -kappa^2 for the
+xpay family) — so the interior kernel runs with the epilogue baked in
+and each O(surface) slab correction delta is pushed through L before
+being added:  E(d + delta) = E(d) + L delta, exactly.  The caller
+supplies L as ``epi_corr(delta, region)`` (region selects the boundary
+slice of any site-varying operand, e.g. the clover blocks) plus either
+Pallas ``kernel_kwargs`` (fused in-VMEM) or an explicit ``epi_full``
+pass for the XLA interior (where XLA's own fusion does the same job).
+No extra HBM pass; the correction transforms are O(surface).
 """
 from __future__ import annotations
 
@@ -89,7 +96,9 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
                    dagger: bool, block_z: int | None = None,
                    interpret: bool = False,
                    backend: str = "pallas",
-                   dirs: tuple | None = None) -> jax.Array:
+                   dirs: tuple | None = None,
+                   kernel_kwargs: dict | None = None,
+                   epi_full=None, epi_corr=None) -> jax.Array:
     """Sharded hopping term D_{q<-p} with interior/exterior split.
 
     u_ext: per-shard packed gauge WITH the t/z halo slabs appended
@@ -103,6 +112,15 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
     and a LOCAL lattice's periodic wrap is exactly the interior
     approximation being repaired; the eo masks match the global ones
     because shard offsets are even).
+
+    Fused epilogues (see module docstring): ``kernel_kwargs`` are extra
+    dslash_eo_pallas arguments (epilogue/kappa/mu/flavor/psi0_pk/
+    clover_pk) baked into the Pallas interior; ``epi_full(d)`` is the
+    equivalent explicit pass used for the XLA interior; ``epi_corr
+    (delta, region)`` applies the epilogue's site-local linear part to
+    a boundary slab correction, region in {"t_first", "t_last",
+    "z_first", "z_last"} naming the slice for site-varying operands.
+    All three default to the plain hop (identity epilogue).
     """
     p, q = parity, 1 - parity
     tn, zn = lmesh.nt, lmesh.nz
@@ -133,12 +151,18 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
         from ..ops.dslash_pallas import dslash_eo_pallas
         out = dslash_eo_pallas(u_loc, psi_loc, p, lat, dagger=dagger,
                                block_z=block_z, interpret=interpret,
-                               local_dims=(Tl, Zl), dirs=dirs)
+                               local_dims=(Tl, Zl), dirs=dirs,
+                               **(kernel_kwargs or {}))
     else:
         from ..ops.dslash_xla import dslash_eo_dev_ri
         lat_loc = Lattice((lat.Lx, lat.Ly, Zl, Tl))
         out = dslash_eo_dev_ri(u_loc, psi_loc, p, lat_loc, dagger=dagger,
                                dirs=dirs)
+        if epi_full is not None:
+            out = epi_full(out)
+
+    if epi_corr is None:
+        epi_corr = lambda delta, region: delta  # noqa: E731
 
     # 3. t-direction repairs (mu = 3); tn == 1 means the local wrap IS
     # the correct global wrap
@@ -151,15 +175,16 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
             # forward leg at result t = Tl-1: local wrap used psi[0]
             u_q_last = u_loc[3, q, :, :, :, -1:, :, :]
             d_hi = psi_t_hi - psi_loc[:, :, :, :1]
-            last = last + _leg(fwd3, u_q_last, d_hi, dagger_u=False)
+            last = last + epi_corr(
+                _leg(fwd3, u_q_last, d_hi, dagger_u=False), "t_last")
         if has(3, -1):
             # backward leg at result t = 0: local wrap used local data
             u_p_hal = u_ext[3, p, :, :, :, Tl:Tl + 1, :Zl, :]  # U_t(t=-1)
             u_p_last = u_loc[3, p, :, :, :, -1:, :, :]
-            first = first + (
+            first = first + epi_corr(
                 _leg(bwd3, u_p_hal, psi_t_lo, dagger_u=True)
                 - _leg(bwd3, u_p_last, psi_loc[:, :, :, -1:],
-                       dagger_u=True))
+                       dagger_u=True), "t_first")
         out = jnp.concatenate([first, out[:, :, :, 1:-1], last], axis=3)
 
     # 4. z-direction repairs (mu = 2)
@@ -171,14 +196,15 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
         if has(2, +1):
             u_q_last = u_loc[2, q, :, :, :, :, -1:, :]
             d_hi = psi_z_hi - psi_loc[:, :, :, :, :1]
-            last = last + _leg(fwd2, u_q_last, d_hi, dagger_u=False)
+            last = last + epi_corr(
+                _leg(fwd2, u_q_last, d_hi, dagger_u=False), "z_last")
         if has(2, -1):
             u_p_hal = u_ext[2, p, :, :, :, :Tl, -1:, :]     # U_z(z=-1)
             u_p_last = u_loc[2, p, :, :, :, :, -1:, :]
-            first = first + (
+            first = first + epi_corr(
                 _leg(bwd2, u_p_hal, psi_z_lo, dagger_u=True)
                 - _leg(bwd2, u_p_last, psi_loc[:, :, :, :, -1:],
-                       dagger_u=True))
+                       dagger_u=True), "z_first")
         out = jnp.concatenate([first, out[:, :, :, :, 1:-1], last],
                               axis=4)
 

@@ -123,18 +123,32 @@ class ShardedTMOperatorPC:
                 "overlap mode needs full links (slab repairs are 3x3)"
             from ..operators import twist_apply_pk, twist_inv_apply_pk
             from .overlap import dslash_overlap
-            d = dslash_overlap(u_ext, psi_loc, parity, self.lat,
-                               self.lmesh, dagger, block_z=Zb,
-                               interpret=self.interpret,
-                               backend=self.backend)
-            k = jnp.asarray(self.kappa, d.dtype)
+            # fused epilogues survive the interior/exterior split: the
+            # epilogue's site-local linear part L rides on the O(surface)
+            # slab corrections (overlap.py module docstring)
+            kk = dict(epilogue=epilogue, kappa=self.kappa, mu=self.mu,
+                      flavor=flavor, psi0_pk=psi0_loc)
+            k2 = self.kappa * self.kappa
             if epilogue == "twist_inv":
-                return twist_inv_apply_pk(d, self.kappa, self.mu, flavor)
-            if epilogue == "xpay":
-                return twist_apply_pk(psi0_loc, self.kappa, self.mu,
-                                      flavor) - (k * k) * d
-            assert epilogue == "none", epilogue
-            return d
+                epi_full = lambda d: twist_inv_apply_pk(  # noqa: E731
+                    d, self.kappa, self.mu, flavor)
+                epi_corr = lambda dl, r: twist_inv_apply_pk(  # noqa: E731
+                    dl, self.kappa, self.mu, flavor)
+            elif epilogue == "xpay":
+                epi_full = lambda d: twist_apply_pk(  # noqa: E731
+                    psi0_loc, self.kappa, self.mu, flavor) \
+                    - jnp.asarray(k2, d.dtype) * d
+                epi_corr = lambda dl, r: -jnp.asarray(  # noqa: E731
+                    k2, dl.dtype) * dl
+            else:
+                assert epilogue == "none", epilogue
+                epi_full = epi_corr = None
+            return dslash_overlap(u_ext, psi_loc, parity, self.lat,
+                                  self.lmesh, dagger, block_z=Zb,
+                                  interpret=self.interpret,
+                                  backend=self.backend,
+                                  kernel_kwargs=kk, epi_full=epi_full,
+                                  epi_corr=epi_corr)
         psi_ext = _exchange_t(psi_loc, tn)
         psi_ext = _exchange_z(psi_ext, zn, Zb)
         # compressed links (reconstruct-12/-8): the rebuilt-row boundary
@@ -280,19 +294,46 @@ class ShardedTMCloverOperatorPC:
         Zb = tm._zb()
         if self.overlap:
             from .overlap import dslash_overlap
-            d = dslash_overlap(u_l, psi_l, parity, self.lat, m, dagger,
-                               block_z=Zb, interpret=self.interpret,
-                               backend=self.backend)
-            k = jnp.asarray(self.kappa, d.dtype)
+            # fused clover epilogues across the split (overlap.py module
+            # docstring): C^{-1} (clover_inv) / -kappa^2 (clover_xpay)
+            # is the linear part applied to the slab corrections; the
+            # clover blocks are site-varying, so region picks the slice
+            kk = dict(epilogue=epilogue, kappa=self.kappa, mu=self.mu,
+                      flavor=f, psi0_pk=psi0_l, clover_pk=cl_l)
+            k2 = self.kappa * self.kappa
+
+            def _cl_region(r):
+                # cl_l [..., Tl, Zl, S]
+                return {"t_first": cl_l[..., :1, :, :],
+                        "t_last": cl_l[..., -1:, :, :],
+                        "z_first": cl_l[..., :, :1, :],
+                        "z_last": cl_l[..., :, -1:, :]}[r]
+
             if epilogue == "clover_inv":
-                return clover_apply_pk(cl_l.astype(d.dtype), d)
-            if epilogue == "clover_xpay":
+                epi_full = lambda d: clover_apply_pk(  # noqa: E731
+                    cl_l.astype(d.dtype), d)
+                epi_corr = lambda dl, r: clover_apply_pk(  # noqa: E731
+                    _cl_region(r).astype(dl.dtype), dl)
+            elif epilogue == "clover_xpay":
                 tw = 2.0 * self.kappa * self.mu * f
-                site = clover_apply_pk(cl_l.astype(psi0_l.dtype),
-                                       psi0_l) + _itwg5_packed(psi0_l, tw)
-                return site - (k * k) * d
-            assert epilogue == "none", epilogue
-            return d
+
+                def epi_full(d):
+                    site = clover_apply_pk(cl_l.astype(psi0_l.dtype),
+                                           psi0_l) \
+                        + _itwg5_packed(psi0_l, tw)
+                    return site - jnp.asarray(k2, d.dtype) * d
+
+                epi_corr = lambda dl, r: -jnp.asarray(  # noqa: E731
+                    k2, dl.dtype) * dl
+            else:
+                assert epilogue == "none", epilogue
+                epi_full = epi_corr = None
+            return dslash_overlap(u_l, psi_l, parity, self.lat, m,
+                                  dagger, block_z=Zb,
+                                  interpret=self.interpret,
+                                  backend=self.backend,
+                                  kernel_kwargs=kk, epi_full=epi_full,
+                                  epi_corr=epi_corr)
         from .sharded import _exchange_t, _exchange_z
         psi_ext = _exchange_t(psi_l, m.nt)
         psi_ext = _exchange_z(psi_ext, m.nz, Zb)

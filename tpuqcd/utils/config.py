@@ -51,6 +51,14 @@ class SolverParams:
     #: fine spinors for the MG path; 12 fits a v5e at 16^3x32 and below,
     #: drop to 4-6 at 32^3x64.
     rhs_batch: int = 12
+    #: multi-chip Dslash communication policy (reference dslash_policy
+    #: autotune, SURVEY.md C7): "fused" = halo-exchange + fused kernel,
+    #: "overlap" = interior/exterior split with slab repairs, "auto" =
+    #: time both on the production mesh and cache the winner
+    #: (utils/tune.tune_comm_policy).  Ignored off-mesh; backend "xla"
+    #: always uses the overlap form (its interior is the sharded XLA
+    #: stencil).
+    comm_policy: str = "auto"            # auto | fused | overlap
 
 
 @dataclass(frozen=True)
@@ -134,6 +142,9 @@ def validate_config(cfg: "RunConfig") -> None:
     if cfg.solver.backend not in ("pallas", "xla"):
         err(f"solver.backend must be pallas | xla, "
             f"got {cfg.solver.backend!r}")
+    if cfg.solver.comm_policy not in ("auto", "fused", "overlap"):
+        err(f"solver.comm_policy must be auto | fused | overlap, "
+            f"got {cfg.solver.comm_policy!r}")
     if not (0.0 < cfg.solver.tol < 1.0):
         err(f"solver.tol must be in (0, 1), got {cfg.solver.tol}")
     if cfg.solver.maxiter <= 0:

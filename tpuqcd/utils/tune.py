@@ -104,3 +104,55 @@ def tune_dslash_block_z(lat: Lattice, dtype=jnp.float32,
                                    for k, v in results.items()}}
     _store(cache)
     return int(winner)
+
+
+def tune_comm_policy(lat: Lattice, lmesh, apply_fns: dict,
+                     b_sh, *, tag: str = "tm", niter: int = 10,
+                     force: bool = False) -> str:
+    """Pick the faster multi-chip Dslash communication policy.
+
+    The reference's dslash_policy engine benchmarks its comm strategies
+    per kernel+geometry and caches the winner ([U] dslash_policy.cuh;
+    SURVEY.md C7); here the two candidates are the fused halo-exchange
+    kernel and the interior/exterior overlap split (parallel/overlap.py
+    — epilogues stay fused either way), timed on the PRODUCTION mesh
+    with the production operands.  ``apply_fns`` maps policy name ->
+    jit-able closure of one operator apply on ``b_sh``; the winner is
+    cached under the (dims, mesh, tag, device) key.
+
+    Which policy wins is genuinely geometry-dependent: overlap hides
+    halo latency on real ICI meshes but pays 2/Tl + 2/Zl recompute and
+    O(surface) repair passes, so thin local slabs favor the fused form.
+    """
+    dev = jax.devices()[0]
+    key = (f"comm_policy/{lat.dims}/{lmesh.nt}x{lmesh.nz}/{tag}/"
+           f"{dev.device_kind}")
+    cache = _load()
+    if key in cache and not force:
+        w = cache[key]["policy"]
+        if w in apply_fns:
+            return w
+
+    results = {}
+    for name, fn in apply_fns.items():
+        run = jax.jit(lambda b, fn=fn: jnp.real(jnp.ravel(fn(b))[0]))
+        try:
+            float(run(b_sh))  # compile + smoke
+            best = 1e30
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(niter):
+                    r = run(b_sh)
+                jax.block_until_ready(r)
+                best = min(best, time.perf_counter() - t0)
+            results[name] = best / niter
+        except Exception:
+            continue
+    if not results:
+        return next(iter(apply_fns))
+    winner = min(results, key=results.get)
+    cache[key] = {"policy": winner,
+                  "us_per_apply": {k: round(v * 1e6, 2)
+                                   for k, v in results.items()}}
+    _store(cache)
+    return winner
