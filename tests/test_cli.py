@@ -166,3 +166,25 @@ solver: {tol: 1.0e-9, solver: cg, backend: xla}
     monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
                                       "--device", "cpu"])
     main()
+
+
+@pytest.mark.slow
+def test_cli_invert_musweep(monkeypatch, tmp_path, caplog):
+    """action.mu_list drives the multishift mass-sweep path: one
+    Krylov space, every mass certified."""
+    import logging
+    from tpuqcd.cli.run_invert import main
+    cfgp = tmp_path / "inv_sweep.yaml"
+    cfgp.write_text("""
+gauge: {dims: [2, 2, 2, 4], random_seed: 1}
+action: {kappa: 0.11, mu: 0.07, mu_list: [0.07, 0.15, 0.3]}
+solver: {tol: 1.0e-9, solver: cg, backend: xla}
+""")
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    with caplog.at_level(logging.INFO, logger="tpuqcd"):
+        main()
+    rels = [float(r.message.split("relres=")[1])
+            for r in caplog.records if "certified relres" in r.message]
+    assert len(rels) == 3
+    assert all(r < 1e-6 for r in rels), rels

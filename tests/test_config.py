@@ -98,3 +98,11 @@ def test_mesh_mg_block_interplay(tmp_path):
 
 def test_validate_default_runconfig():
     validate_config(RunConfig())
+
+
+def test_musweep_composition_rejected(tmp_path):
+    with pytest.raises(ConfigError, match="mu_list"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "action: {mu_list: [0.05, 0.1]}\n"
+            "mg: {enabled: true}\n")))

@@ -10,7 +10,7 @@ from tpuqcd.lattice import Lattice
 from tpuqcd.operators import PackedTMOperatorPC
 from tpuqcd.solvers.multishift import multishift_cg
 from tpuqcd.solvers.reductions import norm2
-from tpuqcd.utils.packed import pack_gauge
+from tpuqcd.utils.packed import pack_gauge, pack_spinor
 
 LAT = Lattice((4, 4, 4, 8))
 
@@ -51,3 +51,23 @@ def test_stout_smearing():
                                atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(m), np.ones(len(m)),
                                atol=1e-5)
+
+
+def test_solve_tm_musweep():
+    """Production mass sweep: solve_tm_musweep returns certified
+    solutions of M(mu_i) x_i = b for every mu from ONE Krylov space
+    (the exact shift identity M(mu)^dag M(mu) = M_W^dag M_W +
+    (2 kappa mu)^2)."""
+    from tpuqcd.solve import solve_tm_musweep
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(2), LAT), LAT)
+    u_pk = pack_gauge(u)
+    b = random_spinor_dev(jax.random.PRNGKey(3), LAT)  # both parities
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    mu_list = (0.2, 0.05, 0.1)   # deliberately unsorted
+    xs, relres, iters = solve_tm_musweep(
+        u_pk, b_pk, LAT, kappa=0.115, mu_list=mu_list, tol=1e-8,
+        maxiter=2000, backend="xla")
+    assert xs.shape[0] == 3
+    for i, mu in enumerate(mu_list):
+        assert float(relres[i]) < 5e-6, (mu, float(relres[i]))

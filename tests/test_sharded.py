@@ -160,3 +160,35 @@ def test_sharded_recon12_matches_single(grid, cpu_devices):
     outd = jax.jit(lambda ue, ps: op.apply_dagger(ue, ps))(u_ext, psi_sh)
     np.testing.assert_allclose(np.asarray(outd), np.asarray(refd),
                                atol=3e-5)
+
+
+@pytest.mark.slow
+def test_sharded_apply_production_shape(cpu_devices):
+    """Mesh == single-device at a 48^3x96-PROPORTIONED volume
+    (16^2x48x96, memory-scaled config 5; VERDICT r1 #1 "nothing
+    48^3x96-proportioned has ever run, even virtually").
+
+    A (4, 2) t x z mesh with Tl=24, Zl=24 local slabs — production-like
+    surface-to-volume — through the xla-backend overlap engine with
+    fused epilogues (the multi-chip production configuration for this
+    backend).  Operator-apply level: the full-pipeline mesh equality at
+    this shape is a multi-hour CPU run; tests/test_cli_mesh.py proves
+    pipeline equality at small shape, this proves the operator at
+    production shape."""
+    lat = Lattice((16, 16, 48, 96))
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(3), lat), lat)
+    psi = random_spinor_dev(jax.random.PRNGKey(4), lat, parities=1)
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    del u, psi
+    ref_op = PackedTMOperatorPC(lat, kappa=KAPPA, mu=MU, backend="xla")
+    ref = np.asarray(ref_op.apply(u_pk, psi_pk))
+
+    lmesh = LatticeMesh.make(lat, 4, 2, devices=cpu_devices)
+    op = ShardedTMOperatorPC(lat, lmesh, kappa=KAPPA, mu=MU,
+                             backend="xla", overlap=True)
+    u_sh = lmesh.shard_gauge(u_pk)
+    psi_sh = lmesh.shard_spinor(psi_pk)
+    u_ext = jax.jit(op.extend_gauge)(u_sh)
+    out = jax.jit(op.apply)(u_ext, psi_sh)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)

@@ -21,6 +21,8 @@ def main():
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     if getattr(cfg.action, "epsbar", 0.0) != 0.0:
         return _main_ndeg(cfg, lat, u_pk)
+    if getattr(cfg.action, "mu_list", ()):
+        return _main_musweep(cfg, lat, u_pk)
     solve = make_solver(cfg, lat, u_pk, u_full)
 
     kr, ki = jax.random.split(jax.random.PRNGKey(99))
@@ -82,6 +84,43 @@ def main():
              t, gf, rel)
     print(f"RESULT solve_seconds={t:.3f} relres={rel:.3e} "
           f"gflops={gf:.1f} dims={lat.dims} tol={cfg.solver.tol}")
+
+
+def _main_musweep(cfg, lat, u_pk):
+    """Quark-mass sweep: one multi-shift CG Krylov space solves
+    M(mu_i) x = b for every mu in action.mu_list (reference
+    `inv_multi_cg_quda.cpp` mass-tuning [U]; SURVEY.md C11)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from ..phys.propagator import full_to_packed
+    from ..solve import solve_tm_musweep
+    from .common import accel
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        kr, ki = jax.random.split(jax.random.PRNGKey(99))
+        b = jax.lax.complex(
+            jax.random.normal(kr, (*lat.full_shape, 4, 3),
+                              dtype=jnp.float32),
+            jax.random.normal(ki, (*lat.full_shape, 4, 3),
+                              dtype=jnp.float32))
+        b_pk = full_to_packed(b, lat)
+    b_acc = jax.device_put(b_pk, accel())
+    mu_list = tuple(float(m) for m in cfg.action.mu_list)
+    t0 = time.perf_counter()
+    xs, relres, iters = solve_tm_musweep(
+        u_pk, b_acc, lat, kappa=cfg.action.kappa, mu_list=mu_list,
+        tol=cfg.solver.tol, maxiter=cfg.solver.maxiter,
+        backend=cfg.solver.backend)
+    jax.block_until_ready(xs)
+    dt = time.perf_counter() - t0
+    for i, mu in enumerate(mu_list):
+        log.info("musweep mu=%g: certified relres=%.2e", mu,
+                 float(relres[i]))
+    log.info("musweep: %d masses, %d multishift iters, %.2f s total "
+             "(one Krylov space)", len(mu_list), int(iters), dt)
 
 
 def _main_ndeg(cfg, lat, u_pk):

@@ -400,3 +400,78 @@ def solve_tm_batch(u_pk: jax.Array, b_pks: jax.Array, lat: Lattice,
         return solve_tm(u_pk, b_pk, lat, clover=clover, **kw)
 
     return jax.vmap(one)(b_pks)
+
+
+def solve_tm_musweep(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
+                     kappa: float, mu_list, tol: float = 1e-8,
+                     maxiter: int = 4000, backend: str = "pallas"):
+    """Twisted-mass quark-MASS SWEEP: M(mu_i) x_i = b for every mu from
+    ONE multi-shift CG Krylov space.
+
+    gamma5-hermiticity of the Wilson part gives the exact identity
+
+        M(mu)^dag M(mu) = M_W^dag M_W + (2 kappa mu)^2
+
+    (the cross terms cancel: M_W^dag g5 = g5 M_W), and the same holds
+    for the LEFT normal operator M(mu) M(mu)^dag = M_W M_W^dag +
+    (2 kappa mu)^2 — so the normal equations of ALL masses are SHIFTS
+    of one Hermitian PD operator: one Krylov space, two hop applies per
+    iteration for any number of masses (the reference's
+    `inv_multi_cg_quda.cpp` mass-tuning use case [U]; SURVEY.md C11).
+    Solve (M_W M_W^dag + sigma_i) y_i = b, then
+    x_i = M(mu_i)^dag y_i = g5 M(-mu_i) g5 y_i.
+
+    u_pk [4,2,3,3,2,T,Z,S]; b_pk solver layout [2par, 2ri, 4, 3, T, Z,
+    S].  Returns (xs [n_mu, *b_pk.shape] f32 in mu_list order, relres
+    [n_mu] f64 CERTIFIED true residuals |b - M(mu_i) x_i| / |b|,
+    iters).  The iterated multishift tolerance is what `tol` controls;
+    the returned residuals are the independent f64 certificates.
+    """
+    from functools import partial
+
+    from .mg.device import DeviceFineLevel
+    from .operators import _G5_DIAG
+    from .solvers.multishift import multishift_cg
+
+    mu_list = tuple(float(m) for m in mu_list)
+    order = sorted(range(len(mu_list)), key=lambda i: mu_list[i] ** 2)
+    shifts = tuple((2.0 * kappa * mu_list[i]) ** 2 for i in order)
+
+    @partial(jax.jit, static_argnames=("lat_", "kappa_", "shifts_",
+                                       "mus_", "backend_", "tol_",
+                                       "maxiter_"))
+    def _sweep(u_a, b_a, lat_, kappa_, shifts_, mus_, backend_, tol_,
+               maxiter_):
+        level = DeviceFineLevel(lat_, u_a.astype(jnp.float32), kappa_,
+                                mu=0.0, backend=backend_)
+        g5 = jnp.asarray(_G5_DIAG, jnp.float32).reshape(1, 1, 4, 1, 1,
+                                                        1, 1)
+
+        def matvec(v):  # M_W M_W^dag = M g5 M g5  (mu = 0): the x =
+            # M^dag y substitution needs the LEFT normal operator,
+            # M(mu) M(mu)^dag = M_W M_W^dag + (2 kappa mu)^2 —
+            # also exactly shifted (the g5 cross terms cancel)
+            return level.apply(g5 * level.apply(g5 * v))
+
+        b_t = jnp.swapaxes(b_a.astype(jnp.float32), 0, 1)
+        res = multishift_cg(matvec, b_t, shifts_, tol=tol_,
+                            maxiter=maxiter_)
+        xs = []
+        for i, mu_i in enumerate(mus_):
+            lv = dataclasses.replace(level, mu=-mu_i)
+            x_t = g5 * lv.apply(g5 * res.xs[i])
+            xs.append(jnp.swapaxes(x_t, 0, 1))
+        return jnp.stack(xs), res.iters
+
+    mus_sorted = tuple(mu_list[i] for i in order)
+    xs_sorted, iters = _sweep(u_pk, b_pk, lat, kappa, shifts,
+                              mus_sorted, backend, tol, maxiter)
+    inv = [0] * len(order)
+    for pos, i in enumerate(order):
+        inv[i] = pos
+    xs = jnp.stack([xs_sorted[inv[i]] for i in range(len(mu_list))])
+    relres = jnp.stack([
+        jnp.asarray(full_system_relres(u_pk, b_pk, xs[i], lat,
+                                       kappa=kappa, mu=mu_list[i]))
+        for i in range(len(mu_list))])
+    return xs, relres, iters

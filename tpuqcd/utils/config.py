@@ -36,6 +36,11 @@ class ActionParams:
     #: epsbar tau1 - kappa D (run_invert path)
     mubar: float = 0.0
     epsbar: float = 0.0
+    #: quark-mass sweep: non-empty = solve M(mu_i) x_i = b for every
+    #: mu from ONE multi-shift CG Krylov space (run_invert path;
+    #: solve.solve_tm_musweep — the exact TM shift identity
+    #: M(mu)^dag M(mu) = M_W^dag M_W + (2 kappa mu)^2)
+    mu_list: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -145,6 +150,13 @@ def validate_config(cfg: "RunConfig") -> None:
     if cfg.solver.comm_policy not in ("auto", "fused", "overlap"):
         err(f"solver.comm_policy must be auto | fused | overlap, "
             f"got {cfg.solver.comm_policy!r}")
+    if cfg.action.mu_list:
+        if (cfg.action.csw != 0.0 or cfg.action.epsbar != 0.0
+                or cfg.mg.enabled or cfg.mesh.nt * cfg.mesh.nz > 1
+                or cfg.solver.solver != "cg"):
+            err("action.mu_list (multishift mass sweep) supports the "
+                "plain twisted-mass operator with solver: cg on a "
+                "single chip — unset csw/epsbar/mg/mesh or drop mu_list")
     if not (0.0 < cfg.solver.tol < 1.0):
         err(f"solver.tol must be in (0, 1), got {cfg.solver.tol}")
     if cfg.solver.maxiter <= 0:
