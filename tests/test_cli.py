@@ -188,3 +188,81 @@ solver: {tol: 1.0e-9, solver: cg, backend: xla}
             for r in caplog.records if "certified relres" in r.message]
     assert len(rels) == 3
     assert all(r < 1e-6 for r in rels), rels
+
+
+@pytest.mark.slow
+def test_cli_twop_ensemble(monkeypatch, tmp_path):
+    """gauge.random_seeds ensemble mode: one process measures every
+    member (compile amortization), per-member output files, and each
+    member reproduces the corresponding single-config run exactly."""
+    from tpuqcd.cli.run_twop import main
+    out = str(tmp_path / "ens.h5")
+    cfgp = tmp_path / "ens.yaml"
+    cfgp.write_text(f"""
+gauge:
+  dims: [2, 2, 2, 4]
+  random_seeds: [3, 5]
+action: {{kappa: 0.11, mu: 0.07}}
+solver: {{tol: 1.0e-8, backend: xla}}
+physics:
+{TWOP_PHYS}
+  output: {out}
+""")
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    monkeypatch.delenv("TPUQCD_DEVICE_CONTRACT", raising=False)
+    main()
+    v3 = _h5_all(str(tmp_path / "ens.s3.h5"))
+    v5 = _h5_all(str(tmp_path / "ens.s5.h5"))
+    assert set(v3) == set(v5) and len(v3) > 0
+    # different configs -> different correlators
+    k = next(iter(v3))
+    assert not np.allclose(v3[k], v5[k])
+    # member s3 == the plain single-config run with random_seed 3
+    single = _run(monkeypatch, tmp_path, main, TWOP_PHYS, "one.h5")
+    v1 = _h5_all(single)
+    for k in v1:
+        np.testing.assert_allclose(v3[k], v1[k], rtol=1e-6, atol=1e-8,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_cli_twop_ensemble_files_prefetch(monkeypatch, tmp_path):
+    """gauge.config_files ensemble mode: ILDG members stream through
+    the background read-ahead (io/prefetch.py) and each produces its
+    own output file with finite, distinct correlators."""
+    import jax
+    import numpy as np_
+    from tpuqcd import su3
+    from tpuqcd.io.lime import write_ildg_gauge
+    from tpuqcd.lattice import Lattice
+    from tpuqcd.cli.run_twop import main
+    lat = Lattice((2, 2, 2, 4))
+    paths = []
+    for seed in (3, 5):
+        u = su3.random_gauge(jax.random.PRNGKey(seed), lat)
+        p = str(tmp_path / f"conf{seed}.lime")
+        write_ildg_gauge(p, np_.asarray(u), lat)
+        paths.append(p)
+    out = str(tmp_path / "ensf.h5")
+    cfgp = tmp_path / "ensf.yaml"
+    cfgp.write_text(f"""
+gauge:
+  dims: [2, 2, 2, 4]
+  config_files: [{paths[0]}, {paths[1]}]
+action: {{kappa: 0.11, mu: 0.07}}
+solver: {{tol: 1.0e-8, backend: xla}}
+physics:
+{TWOP_PHYS}
+  output: {out}
+""")
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    monkeypatch.delenv("TPUQCD_DEVICE_CONTRACT", raising=False)
+    main()
+    va = _h5_all(str(tmp_path / "ensf.conf3.h5"))
+    vb = _h5_all(str(tmp_path / "ensf.conf5.h5"))
+    assert set(va) == set(vb) and len(va) > 0
+    k = next(iter(va))
+    assert np.all(np.isfinite(va[k])) and np.all(np.isfinite(vb[k]))
+    assert not np.allclose(va[k], vb[k])

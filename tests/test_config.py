@@ -106,3 +106,16 @@ def test_musweep_composition_rejected(tmp_path):
             "gauge: {dims: [8, 8, 8, 16]}\n"
             "action: {mu_list: [0.05, 0.1]}\n"
             "mg: {enabled: true}\n")))
+
+
+def test_ensemble_modes_exclusive(tmp_path):
+    with pytest.raises(ConfigError, match="ensemble"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16], config_files: [a.lime],"
+            " random_seeds: [1, 2]}\n")))
+
+
+def test_ensemble_valid_roundtrip(tmp_path):
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16], random_seeds: [1, 2, 3]}\n")))
+    assert tuple(cfg.gauge.random_seeds) == (1, 2, 3)

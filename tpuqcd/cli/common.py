@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 import jax
@@ -24,6 +25,20 @@ def parse_args(description: str):
     ap.add_argument("--device", default=None,
                     help="cpu to force the CPU backend")
     args = ap.parse_args()
+    # persistent XLA compilation cache: MG setup is ~97% compile time
+    # (measured 101 s cold vs 3.4 s warm in-process at 32^3x64), so any
+    # cross-process compile reuse is free wallclock (~20% on the
+    # remote-compile axon backend, more on local backends).  The
+    # reference's QUDA_RESOURCE_PATH tunecache plays the same role.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache_dir = os.path.join(
+            os.environ.get("TPUQCD_RESOURCE_PATH",
+                           os.path.expanduser("~/.cache/tpuqcd")), "xla")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:
+            pass
     # multi-process launch (TPUQCD_DIST=1, one process per host): form
     # the global runtime BEFORE the first device touch below
     from ..parallel.dist import init_distributed
@@ -57,12 +72,50 @@ def accel():
     return _ACCEL if _ACCEL is not None else jax.devices()[0]
 
 
+def ensemble_members(cfg):
+    """Yield (ctag, cfg_member) for each gauge configuration of an
+    ensemble run, or a single ("", cfg) in single-config mode.
+
+    The reference measures an ensemble by scripting one process per
+    configuration ([U] CalcMG_* driver scripts; SURVEY.md §4.1); here
+    the members run in ONE persistent process, so every XLA program
+    (solvers, MG setup probing, contraction engines) compiles once and
+    the per-member setup cost drops to warm-execution time (measured
+    ~3% of the cold first-member cost — BASELINE.md).  Members come
+    from gauge.config_files (ILDG paths) or gauge.random_seeds; each
+    member's physics.output gets '.<ctag>' inserted before the file
+    suffix so correlators land in per-configuration files, matching the
+    reference's output organization.
+    """
+    import dataclasses as _dc
+    g = cfg.gauge
+    files = tuple(getattr(g, "config_files", ()) or ())
+    seeds = tuple(getattr(g, "random_seeds", ()) or ())
+    if not files and not seeds:
+        yield "", cfg
+        return
+    if files:
+        members = [(os.path.splitext(os.path.basename(f))[0],
+                    _dc.replace(g, config_file=f)) for f in files]
+    else:
+        members = [(f"s{int(s)}", _dc.replace(g, random_seed=int(s)))
+                   for s in seeds]
+    root, ext = os.path.splitext(cfg.physics.output)
+    for i, (ctag, g_i) in enumerate(members):
+        if files and i + 1 < len(members):
+            # read-ahead: member i+1's gauge file loads on a background
+            # thread while member i computes (io/prefetch.py)
+            from ..io.prefetch import prefetch
+            prefetch(members[i + 1][1].config_file)
+        ph = _dc.replace(cfg.physics, output=f"{root}.{ctag}{ext}")
+        yield ctag, _dc.replace(cfg, gauge=g_i, physics=ph)
+
+
 def setup_gauge(cfg):
     """Load or generate the gauge field; returns (lat, u_full, u_pk,
     u_dev_complex)."""
     from .. import su3
     from ..fields import apply_boundary_phase, gauge_full_to_eo
-    from ..io.lime import read_ildg_gauge
     from ..lattice import Lattice
     from ..ops.gauge_tools import plaquette
     from ..ops.layout import gauge_to_device
@@ -74,7 +127,9 @@ def setup_gauge(cfg):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         if cfg.gauge.config_file:
-            u_np, lat = read_ildg_gauge(cfg.gauge.config_file)
+            # joins an in-flight ensemble read-ahead, else reads now
+            from ..io.prefetch import take
+            u_np, lat = take(cfg.gauge.config_file)
             u_full = jnp.asarray(u_np)
             log.info("loaded gauge %s dims=%s", cfg.gauge.config_file,
                      lat.dims)

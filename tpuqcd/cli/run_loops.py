@@ -24,17 +24,25 @@ from __future__ import annotations
 
 import numpy as np
 
-from .common import accel, log, make_solver, parse_args, setup_gauge
+from .common import (accel, ensemble_members, log, make_solver,
+                     parse_args, setup_gauge)
 
 
 def main():
+    cfg, _args = parse_args(__doc__)
+    for ctag, c in ensemble_members(cfg):
+        if ctag:
+            log.info("=== ensemble member %s ===", ctag)
+        _measure(c)
+
+
+def _measure(cfg):
     import os
 
     import jax
     from ..gammas import GAMMA5
     from ..io.hdf5io import write_loops
 
-    cfg, args = parse_args(__doc__)
     csw = float(getattr(cfg.action, "csw", 0.0) or 0.0)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     solve = make_solver(cfg, lat, u_pk, u_full)

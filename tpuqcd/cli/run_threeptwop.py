@@ -18,8 +18,8 @@ import os
 
 import numpy as np
 
-from .common import (accel, log, make_solver, parse_args, setup_gauge,
-                     smeared_gauge)
+from .common import (accel, ensemble_members, log, make_solver,
+                     parse_args, setup_gauge, smeared_gauge)
 
 
 def _forward_props_host(cfg, lat, solve, srcs):
@@ -49,6 +49,14 @@ def _forward_props_dev(cfg, lat, solve, srcs):
 
 
 def main():
+    cfg, _args = parse_args(__doc__)
+    for ctag, c in ensemble_members(cfg):
+        if ctag:
+            log.info("=== ensemble member %s ===", ctag)
+        _measure(c)
+
+
+def _measure(cfg):
     import jax
     import jax.numpy as jnp
     from ..gammas import (INSERTION_GAMMAS, PARITY_MINUS, PARITY_PLUS)
@@ -62,7 +70,6 @@ def main():
                                    threep_one_derivative_all_pk,
                                    threep_ultralocal_pk)
 
-    cfg, args = parse_args(__doc__)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     u_sm = smeared_gauge(cfg, lat, u_dev)
     solve = make_solver(cfg, lat, u_pk, u_full)

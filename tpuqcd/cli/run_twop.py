@@ -11,11 +11,19 @@ from __future__ import annotations
 
 import numpy as np
 
-from .common import (accel, log, make_solver, parse_args, setup_gauge,
-                     smeared_gauge)
+from .common import (accel, ensemble_members, log, make_solver,
+                     parse_args, setup_gauge, smeared_gauge)
 
 
 def main():
+    cfg, _args = parse_args(__doc__)
+    for ctag, c in ensemble_members(cfg):
+        if ctag:
+            log.info("=== ensemble member %s ===", ctag)
+        _measure(c)
+
+
+def _measure(cfg):
     import os
 
     import jax
@@ -27,7 +35,6 @@ def main():
     from ..phys.propagator import (assemble_propagator_pk, point_sources,
                                    sink_smear_packed, smear_sources)
 
-    cfg, args = parse_args(__doc__)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     u_sm = smeared_gauge(cfg, lat, u_dev)
     solve = make_solver(cfg, lat, u_pk, u_full)

@@ -24,6 +24,14 @@ class GaugeParams:
     random_seed: int = 0
     antiperiodic_t: bool = True
     plaquette_check: Optional[float] = None  # expected plaquette (load chk)
+    #: ENSEMBLE mode (the reference's per-config production scripting
+    #: folded into ONE persistent process so XLA compiles amortize —
+    #: setup re-runs per config at warm cost, ~3% of cold): a list of
+    #: ILDG paths, or of random seeds for demo/benchmark runs.  The
+    #: physics programs loop members; per-member HDF5 outputs get
+    #: '.<tag>' inserted before the suffix.
+    config_files: tuple = ()
+    random_seeds: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -53,8 +61,10 @@ class SolverParams:
     backend: str = "pallas"              # pallas | xla
     #: propagator columns solved per batched multi-RHS call (1 =
     #: sequential).  Memory scales ~ rhs_batch * (2 + 2*gcr_restart)
-    #: fine spinors for the MG path; 12 fits a v5e at 16^3x32 and below,
-    #: drop to 4-6 at 32^3x64.
+    #: fine spinors for the MG path; 12 fits a v5e at 16^3x32 and below.
+    #: At 32^3x64 with BOTH flavor hierarchies resident (the 2pt/3pt
+    #: programs) use 3 — 6 compiles to 19.1 GB vs the 15.75 GB HBM
+    #: (measured OOM).
     rhs_batch: int = 12
     #: multi-chip Dslash communication policy (reference dslash_policy
     #: autotune, SURVEY.md C7): "fused" = halo-exchange + fused kernel,
@@ -150,6 +160,13 @@ def validate_config(cfg: "RunConfig") -> None:
     if cfg.solver.comm_policy not in ("auto", "fused", "overlap"):
         err(f"solver.comm_policy must be auto | fused | overlap, "
             f"got {cfg.solver.comm_policy!r}")
+    if cfg.gauge.config_files and cfg.gauge.random_seeds:
+        err("gauge.config_files and gauge.random_seeds are exclusive "
+            "ensemble modes — set one")
+    if cfg.gauge.config_file and (cfg.gauge.config_files
+                                  or cfg.gauge.random_seeds):
+        err("gauge.config_file is the single-config mode; use ONLY "
+            "gauge.config_files / gauge.random_seeds for ensembles")
     if cfg.action.mu_list:
         if (cfg.action.csw != 0.0 or cfg.action.epsbar != 0.0
                 or cfg.mg.enabled or cfg.mesh.nt * cfg.mesh.nz > 1
