@@ -95,3 +95,41 @@ def test_gauge_fixing_landau():
     np.testing.assert_allclose(m @ m.conj().transpose(0, 2, 1),
                                np.broadcast_to(np.eye(3), m.shape),
                                atol=2e-5)
+
+
+@pytest.mark.slow
+def test_setup_gauge_fix_config_path(tmp_path):
+    """gauge.fix: coulomb in a run config routes the loaded field
+    through ops/gauge_fix before boundary phases: the plaquette (gauge
+    invariant) is unchanged and the Coulomb functional of the returned
+    pre-phase device field exceeds the unfixed one."""
+    from tpuqcd.cli.common import setup_gauge
+    from tpuqcd.fields import gauge_full_to_eo
+    from tpuqcd.ops import mat3 as m3
+    from tpuqcd.ops.layout import gauge_to_device
+    from tpuqcd.utils.config import load_config
+
+    def coulomb_f(u_dev):
+        return sum(float(jnp.sum(jnp.real(m3.trace(u_dev[mu, p]))))
+                   for p in (0, 1) for mu in (0, 1, 2))
+
+    cfgp = tmp_path / "fix.yaml"
+    cfgp.write_text(
+        "gauge: {dims: [4, 4, 4, 8], random_seed: 7, fix: coulomb,"
+        " fix_sweeps: 30, antiperiodic_t: false}\n")
+    cfg = load_config(str(cfgp))
+    lat, u_full, u_pk, u_dev = setup_gauge(cfg)
+    # unfixed baseline with the same seed
+    u0 = gauge_to_device(gauge_full_to_eo(
+        su3.random_gauge(jax.random.PRNGKey(7), lat), lat), lat)
+    assert coulomb_f(u_dev) > coulomb_f(u0) + 1.0
+    p0, p1 = float(plaquette(u0, lat)), float(plaquette(u_dev, lat))
+    assert abs(p1 - p0) < 3e-4, (p0, p1)
+
+
+def test_config_rejects_bad_gauge_fix(tmp_path):
+    from tpuqcd.utils.config import ConfigError, load_config
+    cfgp = tmp_path / "bad.yaml"
+    cfgp.write_text("gauge: {dims: [4, 4, 4, 8], fix: axial}\n")
+    with pytest.raises(ConfigError, match="gauge.fix"):
+        load_config(str(cfgp))

@@ -147,6 +147,22 @@ def setup_gauge(cfg):
             raise RuntimeError(
                 f"plaquette check failed: {plaq} != "
                 f"{cfg.gauge.plaquette_check}")
+    if getattr(cfg.gauge, "fix", ""):
+        # gauge fixing BEFORE boundary phases, on the raw periodic
+        # links (reference gaugeFixingOVR order [U]; SURVEY.md C16).
+        # The overrelaxation loop is host-driven (per-sweep functional
+        # fetch) — keep it on the CPU backend; the fixed field then
+        # flows through the same packing/upload path below.
+        from ..fields import gauge_eo_to_full
+        from ..ops.gauge_fix import gauge_fix
+        from ..ops.layout import gauge_from_device
+        with jax.default_device(cpu):
+            u_dev, hist = gauge_fix(u_dev, lat, gauge=cfg.gauge.fix,
+                                    n_sweeps=cfg.gauge.fix_sweeps,
+                                    tol=cfg.gauge.fix_tol)
+            u_full = gauge_eo_to_full(gauge_from_device(u_dev, lat), lat)
+        log.info("%s gauge fixing: %d sweeps, functional %.8f",
+                 cfg.gauge.fix, len(hist), hist[-1] if hist else 0.0)
     with jax.default_device(cpu):
         u_full_bc = apply_boundary_phase(u_full, lat,
                                          cfg.gauge.antiperiodic_t)

@@ -32,6 +32,15 @@ class GaugeParams:
     #: '.<tag>' inserted before the suffix.
     config_files: tuple = ()
     random_seeds: tuple = ()
+    #: gauge fixing applied to the loaded field before boundary phases
+    #: (reference gaugeFixingOVR interface / lib/gauge_fix_ovr.cu [U],
+    #: SURVEY.md C16): "" = none, "landau" | "coulomb" = checkerboard
+    #: overrelaxation (ops/gauge_fix.py).  Gauge-invariant observables
+    #: (plaquette, baryon 2pt/3pt, loops) are unchanged; fixing matters
+    #: for gauge-variant analyses (e.g. momentum sources, NPR vertices).
+    fix: str = ""
+    fix_sweeps: int = 200
+    fix_tol: float = 1e-9
 
 
 @dataclass(frozen=True)
@@ -160,6 +169,9 @@ def validate_config(cfg: "RunConfig") -> None:
     if cfg.solver.comm_policy not in ("auto", "fused", "overlap"):
         err(f"solver.comm_policy must be auto | fused | overlap, "
             f"got {cfg.solver.comm_policy!r}")
+    if cfg.gauge.fix not in ("", "landau", "coulomb"):
+        err(f"gauge.fix must be '' | landau | coulomb, "
+            f"got {cfg.gauge.fix!r}")
     if cfg.gauge.config_files and cfg.gauge.random_seeds:
         err("gauge.config_files and gauge.random_seeds are exclusive "
             "ensemble modes — set one")
