@@ -119,3 +119,14 @@ def test_ensemble_valid_roundtrip(tmp_path):
     cfg = load_config(_write(tmp_path, (
         "gauge: {dims: [8, 8, 8, 16], random_seeds: [1, 2, 3]}\n")))
     assert tuple(cfg.gauge.random_seeds) == (1, 2, 3)
+
+
+def test_meson_channels_validated(tmp_path):
+    with pytest.raises(ConfigError, match="meson_channels"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "physics: {meson_channels: [pion, eta_prime]}\n")))
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "physics: {meson_channels: [pion, rho_x, a1_z, b0]}\n")))
+    assert cfg.physics.meson_channels == ("pion", "rho_x", "a1_z", "b0")

@@ -33,7 +33,8 @@ def test_proton_density_matches_host():
 def test_meson_density_matches_host():
     s1 = _rand_prop(jax.random.PRNGKey(2))
     s2 = _rand_prop(jax.random.PRNGKey(3))
-    for name, g in (("g5", GAMMA5), ("g1", GAMMA[0])):
+    from tpuqcd.gammas import MESON_CHANNELS
+    for name, g in MESON_CHANNELS.items():  # the ten-meson set
         want = np.asarray(host.meson_2pt_site(s1, s2, g))
         dens = meson_2pt_site_dev(prop_to_device(s1, LAT),
                                   prop_to_device(s2, LAT), g)

@@ -30,7 +30,10 @@ def parse_args(description: str):
     # cross-process compile reuse is free wallclock (~20% on the
     # remote-compile axon backend, more on local backends).  The
     # reference's QUDA_RESOURCE_PATH tunecache plays the same role.
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # (TPU runs only: on CPU the cache saves little and XLA's AOT
+    # loader warns/SIGILL-risks on any host-feature skew when reloading)
+    if args.device != "cpu" and not os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR"):
         cache_dir = os.path.join(
             os.environ.get("TPUQCD_RESOURCE_PATH",
                            os.path.expanduser("~/.cache/tpuqcd")), "xla")

@@ -28,7 +28,7 @@ def _measure(cfg):
 
     import jax
     import jax.numpy as jnp
-    from ..gammas import GAMMA5, PARITY_PLUS, PARITY_MINUS
+    from ..gammas import MESON_CHANNELS, PARITY_PLUS, PARITY_MINUS
     from ..io.hdf5io import write_twop
     from ..phys.contract import meson_2pt, proton_2pt
     from ..phys.contract_dev import meson_2pt_dev, proton_2pt_dev
@@ -111,10 +111,13 @@ def _measure(cfg):
                        f"twop/neutron/{pname}/{tag}", np.asarray(c2n),
                        momenta, src, meta={"kappa": cfg.action.kappa,
                                            "mu": cfg.action.mu})
-        cpi = meson(props["u"], props["u"], GAMMA5, lat, momenta,
-                    src_pos=tuple(src))
-        write_twop(cfg.physics.output, f"twop/pion/{tag}",
-                   np.asarray(cpi), momenta, src)
+        for chan in cfg.physics.meson_channels:
+            cm = meson(props["u"], props["u"], MESON_CHANNELS[chan],
+                       lat, momenta, src_pos=tuple(src))
+            write_twop(cfg.physics.output, f"twop/{chan}/{tag}",
+                       np.asarray(cm), momenta, src,
+                       meta={"kappa": cfg.action.kappa,
+                             "mu": cfg.action.mu})
         log.info("wrote correlators for %s -> %s", tag,
                  cfg.physics.output)
 

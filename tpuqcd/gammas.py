@@ -132,3 +132,18 @@ INSERTION_GAMMAS = {
     "sxt": SIGMA_MUNU[0, 3], "syz": SIGMA_MUNU[1, 2],
     "syt": SIGMA_MUNU[1, 3], "szt": SIGMA_MUNU[2, 3],
 }
+
+#: named meson interpolator channels (reference QKXTM "ten mesons"
+#: two-point set [U] contractions_2pt; SURVEY.md C23): the correlator
+#: is -Tr[Gamma S Gammabar g5 S^dag g5] with the SAME Gamma at source
+#: and sink, so the table maps physical channel names to that Gamma.
+MESON_CHANNELS = {
+    "a0": ID4,                       # scalar
+    "pion": GAMMA5,                  # pseudoscalar (pi+)
+    "pion_g4": GAMMA_T @ GAMMA5,     # alt pseudoscalar interpolator
+    "b0": GAMMA_T,                   # gamma_4 channel
+    "rho_x": GAMMA_X, "rho_y": GAMMA_Y, "rho_z": GAMMA_Z,   # vector
+    "a1_x": GAMMA5 @ GAMMA_X,        # axial vector
+    "a1_y": GAMMA5 @ GAMMA_Y,
+    "a1_z": GAMMA5 @ GAMMA_Z,
+}

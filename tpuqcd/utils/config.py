@@ -105,6 +105,9 @@ class PhysicsParams:
     t_sinks: tuple[int, ...] = ()        # required by run_threeptwop
     projectors: tuple[str, ...] = ("P+",)
     momenta: tuple = ((0, 0, 0),)
+    #: meson two-point channels (gammas.MESON_CHANNELS names — the
+    #: reference's ten-meson set); same Gamma at source and sink
+    meson_channels: tuple[str, ...] = ("pion",)
     smear_alpha_ape: float = 0.5
     smear_n_ape: int = 10
     smear_alpha_gauss: float = 4.0
@@ -169,6 +172,12 @@ def validate_config(cfg: "RunConfig") -> None:
     if cfg.solver.comm_policy not in ("auto", "fused", "overlap"):
         err(f"solver.comm_policy must be auto | fused | overlap, "
             f"got {cfg.solver.comm_policy!r}")
+    from ..gammas import MESON_CHANNELS
+    bad = [c for c in cfg.physics.meson_channels
+           if c not in MESON_CHANNELS]
+    if bad:
+        err(f"physics.meson_channels: unknown {bad!r}; known: "
+            f"{sorted(MESON_CHANNELS)}")
     if cfg.gauge.fix not in ("", "landau", "coulomb"):
         err(f"gauge.fix must be '' | landau | coulomb, "
             f"got {cfg.gauge.fix!r}")
