@@ -8,16 +8,24 @@ from __future__ import annotations
 
 import numpy as np
 
-from .common import log, make_solver, parse_args, setup_gauge
+from .common import (ensemble_members, log, make_solver, parse_args,
+                     setup_gauge)
 
 
 def main():
+    cfg, _args = parse_args(__doc__)
+    for ctag, c in ensemble_members(cfg):
+        if ctag:
+            log.info("=== ensemble member %s ===", ctag)
+        _invert(c)
+
+
+def _invert(cfg):
     import jax
     import jax.numpy as jnp
     from ..solvers.reductions import norm2
     from ..utils.profile import Profile, solve_flops
 
-    cfg, args = parse_args(__doc__)
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     if getattr(cfg.action, "epsbar", 0.0) != 0.0:
         return _main_ndeg(cfg, lat, u_pk)
