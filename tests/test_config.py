@@ -130,3 +130,14 @@ def test_meson_channels_validated(tmp_path):
         "gauge: {dims: [8, 8, 8, 16]}\n"
         "physics: {meson_channels: [pion, rho_x, a1_z, b0]}\n")))
     assert cfg.physics.meson_channels == ("pion", "rho_x", "a1_z", "b0")
+
+
+def test_projector_names_validated(tmp_path):
+    with pytest.raises(ConfigError, match="projectors"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "physics: {projectors: [P+, G5G3]}\n")))
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "physics: {projectors: [P+, P5x, P5z]}\n")))
+    assert cfg.physics.projectors == ("P+", "P5x", "P5z")

@@ -21,13 +21,17 @@ def _rand_prop(key):
 
 
 def test_proton_density_matches_host():
+    from tpuqcd.gammas import PROJECTORS
     su = _rand_prop(jax.random.PRNGKey(0))
     sd = _rand_prop(jax.random.PRNGKey(1))
-    want = np.asarray(host.proton_2pt_site(su, sd))
-    dens = proton_2pt_site_dev(prop_to_device(su, LAT),
-                               prop_to_device(sd, LAT))
-    got = density_to_full(dens, LAT)
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+    su_d, sd_d = prop_to_device(su, LAT), prop_to_device(sd, LAT)
+    # full projector set incl. the complex polarized P5k matrices
+    for pname, proj in PROJECTORS.items():
+        want = np.asarray(host.proton_2pt_site(su, sd, proj))
+        dens = proton_2pt_site_dev(su_d, sd_d, proj)
+        got = density_to_full(dens, LAT)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3,
+                                   err_msg=pname)
 
 
 def test_meson_density_matches_host():

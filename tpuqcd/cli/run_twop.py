@@ -28,7 +28,7 @@ def _measure(cfg):
 
     import jax
     import jax.numpy as jnp
-    from ..gammas import MESON_CHANNELS, PARITY_PLUS, PARITY_MINUS
+    from ..gammas import MESON_CHANNELS, PROJECTORS
     from ..io.hdf5io import write_twop
     from ..phys.contract import meson_2pt, proton_2pt
     from ..phys.contract_dev import meson_2pt_dev, proton_2pt_dev
@@ -95,9 +95,8 @@ def _measure(cfg):
         proton = proton_2pt_dev if use_dev else proton_2pt
         meson = meson_2pt_dev if use_dev else meson_2pt
         tag = f"sx{src[3]}sy{src[2]}sz{src[1]}st{src[0]}"
-        for pname, proj in (("P+", PARITY_PLUS), ("P-", PARITY_MINUS)):
-            if pname not in cfg.physics.projectors:
-                continue
+        for pname in cfg.physics.projectors:
+            proj = PROJECTORS[pname]
             c2 = proton(props["u"], props["d"], lat, momenta,
                         src_pos=tuple(src), proj=proj)
             write_twop(cfg.physics.output,

@@ -114,6 +114,19 @@ CGAMMA5 = CMAT @ GAMMA5
 PARITY_PLUS = 0.5 * (ID4 + GAMMA_T)
 PARITY_MINUS = 0.5 * (ID4 - GAMMA_T)
 
+#: baryon spin projectors for the 2pt/3pt programs (reference QKXTM
+#: projector set [U] WhatProjector: G4 unpolarized, G5G1/G5G2/G5G3
+#: polarized — the polarized ones feed the axial/tensor form-factor
+#: channels): P5k = (1 + gamma_t)/2 . i gamma_5 gamma_k (the two
+#: factors commute).
+PROJECTORS = {
+    "P+": PARITY_PLUS,
+    "P-": PARITY_MINUS,
+    "P5x": PARITY_PLUS @ (1j * GAMMA5 @ GAMMA_X),
+    "P5y": PARITY_PLUS @ (1j * GAMMA5 @ GAMMA_Y),
+    "P5z": PARITY_PLUS @ (1j * GAMMA5 @ GAMMA_Z),
+}
+
 #: Levi-Civita epsilon_{abc} for color contractions.
 EPS3 = np.zeros((3, 3, 3))
 for _a, _b, _c, _s in ((0, 1, 2, 1), (1, 2, 0, 1), (2, 0, 1, 1),

@@ -256,9 +256,11 @@ def validate_config(cfg: "RunConfig") -> None:
     for q in cfg.physics.momenta:
         if len(q) != 3:
             err(f"physics.momenta entries must be 3-vectors, got {q}")
+    from ..gammas import PROJECTORS
     for p in cfg.physics.projectors:
-        if p not in ("P+", "P-"):
-            err(f"physics.projectors entries must be P+ | P-, got {p!r}")
+        if p not in PROJECTORS:
+            err(f"physics.projectors entries must be one of "
+                f"{sorted(PROJECTORS)}, got {p!r}")
     if cfg.physics.tsm_cheap < 0 or cfg.physics.n_deflate < 0 \
             or cfg.physics.n_noise <= 0:
         err(f"physics noise counts must be sane: n_noise "
