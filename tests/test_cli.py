@@ -51,7 +51,8 @@ THREEP_PHYS = """  source_positions: [[0, 0, 0, 0]]
   projectors: [P+]
   momenta: [[0, 0, 0]]
   smear_n_ape: 0
-  smear_n_gauss: 0"""
+  smear_n_gauss: 1
+  smear_alpha_gauss: 1.0"""
 
 LOOPS_PHYS = """  n_noise: 2
   momenta: [[0, 0, 0]]"""

@@ -94,7 +94,9 @@ def test_proton_seq_source_pk_matches_host():
     su_pk, sd_pk = prop_to_device(su, LAT), prop_to_device(sd, LAT)
     # one leg per projector keeps the (heavy) CPU grad test quick; the
     # two legs share all code paths except the argnum of the grad
-    for leg, proj in (("u", PARITY_PLUS), ("d", PARITY_MINUS)):
+    from tpuqcd.gammas import PROJECTORS
+    for leg, proj in (("u", PARITY_PLUS), ("d", PARITY_MINUS),
+                      ("u", PROJECTORS["P5z"])):  # complex polarized
         want = proton_seq_source(su, sd, 3, leg, LAT, proj=proj)
         got = proton_seq_source_pk(su_pk, sd_pk, 3, leg, LAT, proj=proj)
         np.testing.assert_allclose(np.asarray(got),
@@ -127,3 +129,21 @@ def test_threep_one_derivative_dev_matches_host():
         got = np.asarray(threep_one_derivative_pk(
             bwd_pk, fwd_pk, u_pk, mu, nu, LAT, MOMENTA, src_pos=SRC))
         np.testing.assert_allclose(got, want, rtol=3e-4, atol=2e-2)
+
+
+def test_sink_smear_prop_pk_matches_host():
+    """Packed sink smearing of a propagator / sequential source == the
+    host sink_smear_propagator (the smeared-sink 3pt pipeline of
+    run_threeptwop; reference seqSourceFixSink smears both the sink legs
+    and the sequential source before the backward inversion)."""
+    from tpuqcd.phys.propagator import (sink_smear_prop_pk,
+                                        sink_smear_propagator)
+    u = su3.random_gauge(jax.random.PRNGKey(7), LAT)
+    u_dev = gauge_to_device(gauge_full_to_eo(u, LAT), LAT)
+    u_pk = pack_gauge(u_dev)
+    prop = _rand_prop(jax.random.PRNGKey(8))
+    want = sink_smear_propagator(u_dev, prop, LAT, 1.5, 3)
+    got = sink_smear_prop_pk(u_pk, prop_to_device(prop, LAT), LAT, 1.5, 3)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(prop_to_device(want, LAT)),
+                               rtol=2e-4, atol=2e-4)

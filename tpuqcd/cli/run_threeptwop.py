@@ -5,6 +5,12 @@ SURVEY.md §4.1): forward props -> 2pt -> per (t_sink, projector, flavor)
 sequential sources -> backward props -> ultra-local + one-derivative
 insertions -> HDF5.
 
+With physics.smear_n_gauss > 0 the run uses the fixed-SMEARED-sink
+method ([U] seqSourceFixSink): the written 2pt and the sequential
+sources are built from sink-smeared propagators and the sequential
+source itself is Wuppertal-smeared before the backward inversion;
+the insertion contractions couple to the UNsmeared forward props.
+
 On an accelerator the whole pipeline is device-resident: packed
 propagators (phys/contract_dev.py), grad-derived sequential sources and
 the contraction/momentum-projection engine of phys/threep_dev.py — only
@@ -59,7 +65,7 @@ def main():
 def _measure(cfg):
     import jax
     import jax.numpy as jnp
-    from ..gammas import (INSERTION_GAMMAS, PARITY_MINUS, PARITY_PLUS)
+    from ..gammas import INSERTION_GAMMAS, PROJECTORS
     from ..io.hdf5io import write_threep, write_twop
     from ..phys.contract import proton_2pt
     from ..phys.contract_dev import proton_2pt_dev
@@ -74,13 +80,18 @@ def _measure(cfg):
     u_sm = smeared_gauge(cfg, lat, u_dev)
     solve = make_solver(cfg, lat, u_pk, u_full)
     momenta = np.asarray(cfg.physics.momenta)
-    projs = {"P+": PARITY_PLUS, "P-": PARITY_MINUS}
+    projs = PROJECTORS
+    n_gauss = cfg.physics.smear_n_gauss
+    a_gauss = cfg.physics.smear_alpha_gauss
 
     acc = accel()
     use_dev = (solve.lmesh is not None or acc.platform != "cpu"
                or os.environ.get("TPUQCD_DEVICE_CONTRACT") == "1")
     if use_dev:
         u_pk_acc = solve.put(u_pk)
+        if n_gauss > 0:
+            from ..utils.packed import pack_gauge
+            u_sm_acc = solve.put(pack_gauge(u_sm))
 
     for src in cfg.physics.source_positions:
         log.info("source %s (contractions on %s)", src,
@@ -92,14 +103,33 @@ def _measure(cfg):
                                  cfg.physics.smear_n_gauss)
         props = (_forward_props_dev if use_dev else _forward_props_host)(
             cfg, lat, solve, srcs)
+        # Fixed-SMEARED-sink method (reference seqSourceFixSink): the 2pt
+        # written here and the sequential sources are built from the
+        # sink-smeared propagators; the insertion contractions below use
+        # the UNsmeared forward props (the current couples to the local
+        # quark field at t_ins).
+        if n_gauss > 0:
+            if use_dev:
+                from ..phys.propagator import sink_smear_prop_pk
+                props_sm = {k: sink_smear_prop_pk(
+                    u_sm_acc, v, lat, a_gauss, n_gauss)
+                    for k, v in props.items()}
+            else:
+                from ..phys.propagator import sink_smear_propagator
+                props_sm = {k: sink_smear_propagator(
+                    u_sm, v, lat, a_gauss, n_gauss)
+                    for k, v in props.items()}
+        else:
+            props_sm = props
 
         tag = f"sx{src[3]}sy{src[2]}sz{src[1]}st{src[0]}"
         for pname in cfg.physics.projectors:
             if use_dev:
-                c2 = proton_2pt_dev(props["u"], props["d"], lat, momenta,
-                                    src_pos=tuple(src), proj=projs[pname])
+                c2 = proton_2pt_dev(props_sm["u"], props_sm["d"], lat,
+                                    momenta, src_pos=tuple(src),
+                                    proj=projs[pname])
             else:
-                c2 = proton_2pt(props["u"], props["d"], lat, momenta,
+                c2 = proton_2pt(props_sm["u"], props_sm["d"], lat, momenta,
                                 src_pos=tuple(src), proj=projs[pname])
             write_twop(cfg.physics.output, f"twop/proton/{pname}/{tag}",
                        np.asarray(c2), momenta, src)
@@ -111,8 +141,13 @@ def _measure(cfg):
                              t_sink, pname, leg)
                     if use_dev:
                         seq = proton_seq_source_pk(
-                            props["u"], props["d"], t_sink, leg, lat,
-                            proj=projs[pname])
+                            props_sm["u"], props_sm["d"], t_sink, leg,
+                            lat, proj=projs[pname])
+                        if n_gauss > 0:   # smear the seq source too
+                            from ..phys.propagator import \
+                                sink_smear_prop_pk
+                            seq = sink_smear_prop_pk(
+                                u_sm_acc, seq, lat, a_gauss, n_gauss)
                         bwd = backward_prop_pk(
                             seq, solve_batch_fn=lambda bs:
                             solve.packed_src_batch(bs, flavor=flip))
@@ -120,9 +155,15 @@ def _measure(cfg):
                             bwd, props[leg], INSERTION_GAMMAS, lat,
                             momenta, src_pos=tuple(src))
                     else:
-                        seq = proton_seq_source(props["u"], props["d"],
+                        seq = proton_seq_source(props_sm["u"],
+                                                props_sm["d"],
                                                 t_sink, leg, lat,
                                                 proj=projs[pname])
+                        if n_gauss > 0:
+                            from ..phys.propagator import \
+                                sink_smear_propagator
+                            seq = sink_smear_propagator(
+                                u_sm, seq, lat, a_gauss, n_gauss)
                         bwd = backward_prop(
                             seq, lambda b: solve(b, flavor=flip))
                         c3 = threep_ultralocal(bwd, props[leg],

@@ -137,3 +137,22 @@ def sink_smear_packed(u_smear_pk, x_pk: jax.Array, lat: Lattice,
     u_smear_pk: PACKED APE-smeared gauge (utils/packed.pack_gauge)."""
     from .smear import gaussian_smear_pk
     return gaussian_smear_pk(u_smear_pk, x_pk, lat, alpha, n_steps)
+
+
+def sink_smear_prop_pk(u_smear_pk, prop_pk: jax.Array, lat: Lattice,
+                       alpha: float, n_steps: int) -> jax.Array:
+    """Gaussian-smear the SINK index of a packed device propagator
+    [2(ri), 2(par), 4(snk s), 3(snk c), 4(src s), 3(src c), T, Z, S]
+    (phys/contract_dev layout).  Smearing is spin-diagonal and acts on
+    (sink color x space) only, so each of the 12 source columns smears
+    independently.  Also applies to packed sequential sources (same
+    layout with (beta, b) as the trailing open indices) — the reference
+    seqSourceFixSink smears the sequential source before the backward
+    inversion ([U] QKXTM_Propagator3D/seqSourceFixSink; SURVEY.md C24)."""
+    cols = []
+    for q in range(4):
+        for b in range(3):
+            x = jnp.swapaxes(prop_pk[:, :, :, :, q, b], 0, 1)
+            x = sink_smear_packed(u_smear_pk, x, lat, alpha, n_steps)
+            cols.append(x)
+    return assemble_propagator_pk(cols)
