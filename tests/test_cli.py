@@ -49,6 +49,7 @@ TWOP_PHYS = """  source_positions: [[0, 0, 0, 0]]
 THREEP_PHYS = """  source_positions: [[0, 0, 0, 0]]
   t_sinks: [2]
   projectors: [P+]
+  baryons: [proton, neutron]
   momenta: [[0, 0, 0]]
   smear_n_ape: 0
   smear_n_gauss: 1
@@ -91,7 +92,9 @@ def test_cli_threeptwop_host_vs_device(monkeypatch, tmp_path):
                dev=True)
     vh, vd = _h5_all(host), _h5_all(dev)
     assert any(k.startswith("threep/proton") for k in vh)
+    assert any(k.startswith("threep/neutron") for k in vh)
     assert any(k.startswith("threep_der/proton") for k in vh)
+    assert any(k.startswith("twop/neutron") for k in vh)
     assert set(vh) == set(vd)
     for k in vh:
         np.testing.assert_allclose(vd[k], vh[k], rtol=1e-2,

@@ -141,3 +141,14 @@ def test_projector_names_validated(tmp_path):
         "gauge: {dims: [8, 8, 8, 16]}\n"
         "physics: {projectors: [P+, P5x, P5z]}\n")))
     assert cfg.physics.projectors == ("P+", "P5x", "P5z")
+
+
+def test_baryons_validated(tmp_path):
+    with pytest.raises(ConfigError, match="baryons"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "physics: {baryons: [proton, lambda]}\n")))
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "physics: {baryons: [proton, neutron]}\n")))
+    assert cfg.physics.baryons == ("proton", "neutron")

@@ -16,6 +16,12 @@ the EXACT low-mode one-end part (w_i = (M_d^dag)^{-1} v_i solves) sum to
 the unbiased full loop — see phys/loops_dev.oneend_lowmode_exact_pk.
 
     python -m tpuqcd.cli.run_loops --config examples/loops.yaml
+    python -m tpuqcd.cli.run_loops --config examples/loops_strange.yaml
+
+Strange/charm loops use the Osterwalder-Seiler prescription: the same
+one-end estimator at the tuned heavy twisted mass (action.mu = mu_s or
+mu_c) — the reference's heavy-flavor loop runs are exactly this
+parameter change ([U] calcMG_loops with strange invert params).
 
 Datasets written: loops/oneend (+ _der), and with n_deflate > 0 the
 exact complements loops/oneend_lowmode (+ _der).

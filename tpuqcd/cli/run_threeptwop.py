@@ -63,18 +63,11 @@ def main():
 
 
 def _measure(cfg):
-    import jax
-    import jax.numpy as jnp
-    from ..gammas import INSERTION_GAMMAS, PROJECTORS
-    from ..io.hdf5io import write_threep, write_twop
+    from ..gammas import PROJECTORS
+    from ..io.hdf5io import write_twop
     from ..phys.contract import proton_2pt
     from ..phys.contract_dev import proton_2pt_dev
     from ..phys.propagator import point_sources, smear_sources
-    from ..phys.threep import (backward_prop, proton_seq_source,
-                               threep_one_derivative, threep_ultralocal)
-    from ..phys.threep_dev import (backward_prop_pk, proton_seq_source_pk,
-                                   threep_one_derivative_all_pk,
-                                   threep_ultralocal_pk)
 
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     u_sm = smeared_gauge(cfg, lat, u_dev)
@@ -123,79 +116,114 @@ def _measure(cfg):
             props_sm = props
 
         tag = f"sx{src[3]}sy{src[2]}sz{src[1]}st{src[0]}"
-        for pname in cfg.physics.projectors:
-            if use_dev:
-                c2 = proton_2pt_dev(props_sm["u"], props_sm["d"], lat,
-                                    momenta, src_pos=tuple(src),
-                                    proj=projs[pname])
+        # The neutron is the isospin mirror of the proton Wick engine:
+        # swap the u and d propagators.  Engine leg "u" (the
+        # doubly-represented quark) is then the physical d quark, whose
+        # backward solve flips to the opposite twisted flavor.
+        flavor_of = {"u": +1, "d": -1}
+        for baryon in cfg.physics.baryons:
+            if baryon == "proton":
+                pu, pd = props_sm["u"], props_sm["d"]
+                phys_of = {"u": "u", "d": "d"}
             else:
-                c2 = proton_2pt(props_sm["u"], props_sm["d"], lat, momenta,
-                                src_pos=tuple(src), proj=projs[pname])
-            write_twop(cfg.physics.output, f"twop/proton/{pname}/{tag}",
-                       np.asarray(c2), momenta, src)
+                pu, pd = props_sm["d"], props_sm["u"]
+                phys_of = {"u": "d", "d": "u"}
 
-        for t_sink in cfg.physics.t_sinks:
             for pname in cfg.physics.projectors:
-                for leg, flip in (("u", -1), ("d", +1)):
-                    log.info(" seq source tsink=%d proj=%s leg=%s",
-                             t_sink, pname, leg)
-                    if use_dev:
-                        seq = proton_seq_source_pk(
-                            props_sm["u"], props_sm["d"], t_sink, leg,
-                            lat, proj=projs[pname])
-                        if n_gauss > 0:   # smear the seq source too
-                            from ..phys.propagator import \
-                                sink_smear_prop_pk
-                            seq = sink_smear_prop_pk(
-                                u_sm_acc, seq, lat, a_gauss, n_gauss)
-                        bwd = backward_prop_pk(
-                            seq, solve_batch_fn=lambda bs:
-                            solve.packed_src_batch(bs, flavor=flip))
-                        c3 = threep_ultralocal_pk(
-                            bwd, props[leg], INSERTION_GAMMAS, lat,
-                            momenta, src_pos=tuple(src))
-                    else:
-                        seq = proton_seq_source(props_sm["u"],
-                                                props_sm["d"],
-                                                t_sink, leg, lat,
-                                                proj=projs[pname])
-                        if n_gauss > 0:
-                            from ..phys.propagator import \
-                                sink_smear_propagator
-                            seq = sink_smear_propagator(
-                                u_sm, seq, lat, a_gauss, n_gauss)
-                        bwd = backward_prop(
-                            seq, lambda b: solve(b, flavor=flip))
-                        c3 = threep_ultralocal(bwd, props[leg],
-                                               INSERTION_GAMMAS, lat,
-                                               momenta, src_pos=tuple(src))
-                    names = list(c3.keys())
-                    arr = np.stack([np.asarray(c3[k]) for k in names])
-                    write_threep(cfg.physics.output,
-                                 f"threep/proton/{pname}/{leg}/{tag}",
-                                 arr, momenta, names, src, t_sink)
-                    # one-derivative insertions gamma_mu D_nu
-                    if use_dev:
-                        dall = threep_one_derivative_all_pk(
-                            bwd, props[leg], u_pk_acc, lat, momenta,
-                            src_pos=tuple(src))
-                        dnames = [f"der_g{m}_D{n}"
-                                  for m in range(4) for n in range(4)]
-                        dcorrs = [np.asarray(dall[k]) for k in dnames]
-                    else:
-                        dnames, dcorrs = [], []
-                        for mu_ in range(4):
-                            for nu_ in range(4):
-                                c3d = threep_one_derivative(
-                                    bwd, props[leg], u_full, mu_, nu_, lat,
-                                    momenta, src_pos=tuple(src))
-                                dnames.append(f"der_g{mu_}_D{nu_}")
-                                dcorrs.append(np.asarray(c3d))
-                    write_threep(cfg.physics.output,
-                                 f"threep_der/proton/{pname}/{leg}/{tag}",
-                                 np.stack(dcorrs), momenta, dnames, src,
-                                 t_sink)
+                if use_dev:
+                    c2 = proton_2pt_dev(pu, pd, lat, momenta,
+                                        src_pos=tuple(src),
+                                        proj=projs[pname])
+                else:
+                    c2 = proton_2pt(pu, pd, lat, momenta,
+                                    src_pos=tuple(src), proj=projs[pname])
+                write_twop(cfg.physics.output,
+                           f"twop/{baryon}/{pname}/{tag}",
+                           np.asarray(c2), momenta, src)
+
+            _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props,
+                    phys_of, flavor_of, projs, momenta, src, tag,
+                    u_pk_acc if use_dev else u_full,
+                    (u_sm_acc if use_dev else u_sm) if n_gauss > 0
+                    else None, a_gauss, n_gauss)
         log.info("wrote 2pt+3pt for %s -> %s", tag, cfg.physics.output)
+
+
+def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
+            flavor_of, projs, momenta, src, tag, u_arg, smear_u,
+            a_gauss, n_gauss):
+    """Sequential-source 3pt for one baryon: per (t_sink, projector,
+    leg) backward props + ultra-local and one-derivative insertions.
+
+    pu/pd: the (sink-smeared) engine propagators; props: UNsmeared
+    physical propagators keyed by flavor (insertion side); u_arg: the
+    unsmeared gauge in the path's layout (derivative insertions);
+    smear_u: smearing gauge (None = point sink)."""
+    from ..gammas import INSERTION_GAMMAS
+    from ..io.hdf5io import write_threep
+    from ..phys.threep import (backward_prop, proton_seq_source,
+                               threep_one_derivative, threep_ultralocal)
+    from ..phys.threep_dev import (backward_prop_pk, proton_seq_source_pk,
+                                   threep_one_derivative_all_pk,
+                                   threep_ultralocal_pk)
+    for t_sink in cfg.physics.t_sinks:
+        for pname in cfg.physics.projectors:
+            for leg in ("u", "d"):
+                phys = phys_of[leg]        # physical quark of this leg
+                flip = -flavor_of[phys]    # backward-solve flavor
+                log.info(" seq source %s tsink=%d proj=%s quark=%s",
+                         baryon, t_sink, pname, phys)
+                if use_dev:
+                    seq = proton_seq_source_pk(
+                        pu, pd, t_sink, leg, lat, proj=projs[pname])
+                    if smear_u is not None:  # smear the seq source too
+                        from ..phys.propagator import sink_smear_prop_pk
+                        seq = sink_smear_prop_pk(
+                            smear_u, seq, lat, a_gauss, n_gauss)
+                    bwd = backward_prop_pk(
+                        seq, solve_batch_fn=lambda bs:
+                        solve.packed_src_batch(bs, flavor=flip))
+                    c3 = threep_ultralocal_pk(
+                        bwd, props[phys], INSERTION_GAMMAS, lat,
+                        momenta, src_pos=tuple(src))
+                else:
+                    seq = proton_seq_source(pu, pd, t_sink, leg, lat,
+                                            proj=projs[pname])
+                    if smear_u is not None:
+                        from ..phys.propagator import sink_smear_propagator
+                        seq = sink_smear_propagator(
+                            smear_u, seq, lat, a_gauss, n_gauss)
+                    bwd = backward_prop(
+                        seq, lambda b: solve(b, flavor=flip))
+                    c3 = threep_ultralocal(bwd, props[phys],
+                                           INSERTION_GAMMAS, lat,
+                                           momenta, src_pos=tuple(src))
+                names = list(c3.keys())
+                arr = np.stack([np.asarray(c3[k]) for k in names])
+                write_threep(cfg.physics.output,
+                             f"threep/{baryon}/{pname}/{phys}/{tag}",
+                             arr, momenta, names, src, t_sink)
+                # one-derivative insertions gamma_mu D_nu
+                if use_dev:
+                    dall = threep_one_derivative_all_pk(
+                        bwd, props[phys], u_arg, lat, momenta,
+                        src_pos=tuple(src))
+                    dnames = [f"der_g{m}_D{n}"
+                              for m in range(4) for n in range(4)]
+                    dcorrs = [np.asarray(dall[k]) for k in dnames]
+                else:
+                    dnames, dcorrs = [], []
+                    for mu_ in range(4):
+                        for nu_ in range(4):
+                            c3d = threep_one_derivative(
+                                bwd, props[phys], u_arg, mu_, nu_, lat,
+                                momenta, src_pos=tuple(src))
+                            dnames.append(f"der_g{mu_}_D{nu_}")
+                            dcorrs.append(np.asarray(c3d))
+                write_threep(cfg.physics.output,
+                             f"threep_der/{baryon}/{pname}/{phys}/{tag}",
+                             np.stack(dcorrs), momenta, dnames, src,
+                             t_sink)
 
 
 if __name__ == "__main__":

@@ -149,10 +149,13 @@ def sink_smear_prop_pk(u_smear_pk, prop_pk: jax.Array, lat: Lattice,
     layout with (beta, b) as the trailing open indices) — the reference
     seqSourceFixSink smears the sequential source before the backward
     inversion ([U] QKXTM_Propagator3D/seqSourceFixSink; SURVEY.md C24)."""
-    cols = []
-    for q in range(4):
-        for b in range(3):
-            x = jnp.swapaxes(prop_pk[:, :, :, :, q, b], 0, 1)
-            x = sink_smear_packed(u_smear_pk, x, lat, alpha, n_steps)
-            cols.append(x)
-    return assemble_propagator_pk(cols)
+    from .smear import gaussian_smear_pk
+    # [2ri,2par,4,3,4,3,T,Z,S] -> [12(src), 2par, 2ri, 4, 3, T, Z, S]
+    cols = jnp.moveaxis(prop_pk, (4, 5), (0, 1))
+    cols = cols.reshape(12, *cols.shape[2:])
+    cols = jnp.swapaxes(cols, 1, 2)
+    # ONE vmapped smearing dispatch for all 12 source columns (the
+    # column loop would issue 12 separate jitted streams)
+    sm = jax.vmap(lambda x: gaussian_smear_pk(u_smear_pk, x, lat,
+                                              alpha, n_steps))(cols)
+    return assemble_propagator_pk(list(sm))

@@ -104,6 +104,10 @@ class PhysicsParams:
     source_positions: tuple = ((0, 0, 0, 0),)
     t_sinks: tuple[int, ...] = ()        # required by run_threeptwop
     projectors: tuple[str, ...] = ("P+",)
+    #: nucleons measured by run_threeptwop (the reference computes both
+    #: proton and neutron 3pt; the neutron is the isospin mirror of the
+    #: proton Wick engine with u <-> d swapped)
+    baryons: tuple[str, ...] = ("proton",)
     momenta: tuple = ((0, 0, 0),)
     #: meson two-point channels (gammas.MESON_CHANNELS names — the
     #: reference's ten-meson set); same Gamma at source and sink
@@ -178,6 +182,10 @@ def validate_config(cfg: "RunConfig") -> None:
     if bad:
         err(f"physics.meson_channels: unknown {bad!r}; known: "
             f"{sorted(MESON_CHANNELS)}")
+    for b in cfg.physics.baryons:
+        if b not in ("proton", "neutron"):
+            err(f"physics.baryons entries must be proton | neutron, "
+                f"got {b!r}")
     if cfg.gauge.fix not in ("", "landau", "coulomb"):
         err(f"gauge.fix must be '' | landau | coulomb, "
             f"got {cfg.gauge.fix!r}")
