@@ -270,3 +270,30 @@ physics:
     k = next(iter(va))
     assert np.all(np.isfinite(va[k])) and np.all(np.isfinite(vb[k]))
     assert not np.allclose(va[k], vb[k])
+
+
+@pytest.mark.slow
+def test_cli_loops_eigenpair_checkpoint(monkeypatch, tmp_path):
+    """Deflation eigenpairs dump on the first run and reload on the
+    second (reference QKXTM_Deflation eigenvector read/write); the
+    reloaded basis reproduces the exact low-mode datasets bit-for-bit
+    and the deflated stochastic estimate to reduction tolerance."""
+    from tpuqcd.cli.run_loops import main
+    eig = str(tmp_path / "eig.npz")
+    phys1 = f"""  n_noise: 1
+  n_deflate: 2
+  momenta: [[0, 0, 0]]
+  eig_outfile: {eig}"""
+    phys2 = f"""  n_noise: 1
+  n_deflate: 2
+  momenta: [[0, 0, 0]]
+  eig_infile: {eig}"""
+    out1 = _run(monkeypatch, tmp_path, main, phys1, "loops_eo.h5")
+    assert os.path.exists(eig)
+    out2 = _run(monkeypatch, tmp_path, main, phys2, "loops_ei.h5")
+    v1, v2 = _h5_all(out1), _h5_all(out2)
+    assert set(v1) == set(v2)
+    for k in v1:
+        np.testing.assert_allclose(
+            v2[k], v1[k], rtol=1e-5,
+            atol=1e-6 * max(1.0, np.abs(v1[k]).max()), err_msg=k)

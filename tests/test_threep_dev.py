@@ -95,10 +95,14 @@ def test_proton_seq_source_pk_matches_host():
     # one leg per projector keeps the (heavy) CPU grad test quick; the
     # two legs share all code paths except the argnum of the grad
     from tpuqcd.gammas import PROJECTORS
-    for leg, proj in (("u", PARITY_PLUS), ("d", PARITY_MINUS),
-                      ("u", PROJECTORS["P5z"])):  # complex polarized
-        want = proton_seq_source(su, sd, 3, leg, LAT, proj=proj)
-        got = proton_seq_source_pk(su_pk, sd_pk, 3, leg, LAT, proj=proj)
+    for leg, proj, snk in (("u", PARITY_PLUS, None),
+                           ("d", PARITY_MINUS, None),
+                           ("u", PROJECTORS["P5z"], None),  # complex pol.
+                           ("u", PARITY_PLUS, np.array([1, 0, -1]))):
+        want = proton_seq_source(su, sd, 3, leg, LAT, proj=proj,
+                                 snk_mom=snk)
+        got = proton_seq_source_pk(su_pk, sd_pk, 3, leg, LAT, proj=proj,
+                                   snk_mom=snk)
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(prop_to_device(want, LAT)),
                                    rtol=2e-3, atol=5e-3)
@@ -147,3 +151,25 @@ def test_sink_smear_prop_pk_matches_host():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(prop_to_device(want, LAT)),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_project_all_momenta_fft_pk_matches_list():
+    """One on-device FFT == the phase-list projection at every momentum
+    (C25 cuFFT parity; incl. negative momenta via the % L index map and
+    a nonzero source position via the pre-FFT roll)."""
+    from tpuqcd.fields import full_to_eo
+    from tpuqcd.phys.contract import project_momenta
+    from tpuqcd.phys.threep_dev import project_all_momenta_fft_pk
+    dens = (jax.random.normal(jax.random.PRNGKey(2), LAT.full_shape) +
+            1j * jax.random.normal(jax.random.PRNGKey(3), LAT.full_shape)
+            ).astype(jnp.complex64)
+    eo = full_to_eo(dens, LAT)
+    pk = jnp.stack([jnp.real(eo), jnp.imag(eo)]).reshape(
+        2, 2, LAT.Lt, LAT.Lz, LAT.Ly * LAT.Lx // 2)
+    sp = (SRC[3], SRC[2], SRC[1])
+    moms = np.array([[0, 0, 0], [1, 0, 0], [0, -1, 2], [-1, 3, -2]])
+    want = np.asarray(project_momenta(dens, LAT, moms, sp))
+    grid = project_all_momenta_fft_pk(pk, LAT, sp)   # [T, Lz, Ly, Lx]
+    got = np.stack([grid[:, n[2] % LAT.Lz, n[1] % LAT.Ly, n[0] % LAT.Lx]
+                    for n in moms])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)

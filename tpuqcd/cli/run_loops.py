@@ -156,7 +156,16 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
     # deflation basis: packed-real Lanczos on A = M_d M_d^dag (C27)
     deflate_fn = None
     evecs_solver = None
-    if ph.n_deflate > 0:
+    if ph.n_deflate > 0 and ph.eig_infile:
+        # reference QKXTM_Deflation eigenvector reload ([U] SURVEY §6.4c)
+        from ..utils.checkpoint import load_eigenpairs
+        _evals, evs = load_eigenpairs(ph.eig_infile)
+        evecs = jnp.stack([solve.put(v) for v in evs])
+        log.info("loaded %d deflation eigenpairs from %s",
+                 evecs.shape[0], ph.eig_infile)
+        evecs_solver = jnp.swapaxes(evecs, 1, 2)
+        deflate_fn = make_deflate_pk(evecs_solver)
+    elif ph.n_deflate > 0:
         from ..mg.device import DeviceFineCloverLevel, DeviceFineLevel
         from ..solvers.lanczos import lanczos_lowest_pk
         u32 = u_acc.astype(jnp.float32)
@@ -194,6 +203,10 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
         deflate_fn = make_deflate_pk(evecs_solver)
         log.info("deflation basis ready (lowest Ritz value %.3e)",
                  float(_evals[0]))
+        if ph.eig_outfile:
+            from ..utils.checkpoint import save_eigenpairs
+            save_eigenpairs(ph.eig_outfile, _evals, list(evecs))
+            log.info("wrote deflation eigenpairs -> %s", ph.eig_outfile)
 
     kw = dict(u_pk=u_acc, derivs=True, dilute_t=ph.dilute_t,
               dilute_sc=bool(ph.dilute_sc), deflate_fn=deflate_fn)
@@ -259,7 +272,13 @@ def _run_host(cfg, lat, u_full, u_pk, solve, keys, keys_cheap, momenta,
 
     deflate_fn = None
     evecs = None
-    if ph.n_deflate > 0:
+    if ph.n_deflate > 0 and ph.eig_infile:
+        from ..utils.checkpoint import load_eigenpairs
+        _evals, evecs = load_eigenpairs(ph.eig_infile)
+        log.info("loaded %d deflation eigenpairs from %s",
+                 len(evecs), ph.eig_infile)
+        deflate_fn = make_deflate(evecs)
+    elif ph.n_deflate > 0:
         from ..operators import TMOperator
         from ..solvers.lanczos import lanczos_lowest
         m_d = TMOperator(lat, kappa=ka, mu=mu_, flavor=-1)
@@ -288,6 +307,10 @@ def _run_host(cfg, lat, u_full, u_pk, solve, keys, keys_cheap, momenta,
             on.append(v)
         evecs = on
         deflate_fn = make_deflate(evecs)
+        if ph.eig_outfile:
+            from ..utils.checkpoint import save_eigenpairs
+            save_eigenpairs(ph.eig_outfile, _evals, evecs)
+            log.info("wrote deflation eigenpairs -> %s", ph.eig_outfile)
 
     kw = dict(u_full=u_full, derivs=True, dilute_t=ph.dilute_t,
               dilute_sc=bool(ph.dilute_sc), deflate_fn=deflate_fn)

@@ -166,6 +166,9 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
     from ..phys.threep_dev import (backward_prop_pk, proton_seq_source_pk,
                                    threep_one_derivative_all_pk,
                                    threep_ultralocal_pk)
+    snk_mom = tuple(int(q) for q in cfg.physics.sink_momentum)
+    snk = np.asarray(snk_mom) if any(snk_mom) else None
+    meta = {"sink_momentum": np.asarray(snk_mom)}
     for t_sink in cfg.physics.t_sinks:
         for pname in cfg.physics.projectors:
             for leg in ("u", "d"):
@@ -175,7 +178,8 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
                          baryon, t_sink, pname, phys)
                 if use_dev:
                     seq = proton_seq_source_pk(
-                        pu, pd, t_sink, leg, lat, proj=projs[pname])
+                        pu, pd, t_sink, leg, lat, proj=projs[pname],
+                        snk_mom=snk)
                     if smear_u is not None:  # smear the seq source too
                         from ..phys.propagator import sink_smear_prop_pk
                         seq = sink_smear_prop_pk(
@@ -188,7 +192,8 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
                         momenta, src_pos=tuple(src))
                 else:
                     seq = proton_seq_source(pu, pd, t_sink, leg, lat,
-                                            proj=projs[pname])
+                                            proj=projs[pname],
+                                            snk_mom=snk)
                     if smear_u is not None:
                         from ..phys.propagator import sink_smear_propagator
                         seq = sink_smear_propagator(
@@ -202,7 +207,8 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
                 arr = np.stack([np.asarray(c3[k]) for k in names])
                 write_threep(cfg.physics.output,
                              f"threep/{baryon}/{pname}/{phys}/{tag}",
-                             arr, momenta, names, src, t_sink)
+                             arr, momenta, names, src, t_sink,
+                             meta=meta)
                 # one-derivative insertions gamma_mu D_nu
                 if use_dev:
                     dall = threep_one_derivative_all_pk(
@@ -223,7 +229,7 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
                 write_threep(cfg.physics.output,
                              f"threep_der/{baryon}/{pname}/{phys}/{tag}",
                              np.stack(dcorrs), momenta, dnames, src,
-                             t_sink)
+                             t_sink, meta=meta)
 
 
 if __name__ == "__main__":

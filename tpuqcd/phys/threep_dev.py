@@ -100,6 +100,42 @@ def project_momenta_pk(dens_pk: jax.Array, lat: Lattice,
     return _fetch_complex(_project_jit(dens_pk, ph))
 
 
+@partial(jax.jit, static_argnames=("lat", "shift"))
+def _fft_project_kernel(dens_pk, *, lat, shift):
+    from ..fields import eo_to_full
+    T, Z, Y, Xh = lat.Lt, lat.Lz, lat.Ly, lat.Lx // 2
+    # [2ri, 2par, T, Z, S] -> full real planes [2ri, T, Z, Y, X]
+    full = eo_to_full(dens_pk.reshape(2, 2, T, Z, Y, Xh), lat,
+                      site_ndim_left=1)
+    if any(shift):   # e^{-ip.(x-x0)}: roll so the source sits at 0
+        full = jnp.roll(full, (-shift[0], -shift[1], -shift[2]),
+                        axis=(2, 3, 4))
+    # fftn is linear: fft(re) + i fft(im) == fft(re + i im); two real
+    # inputs avoid forming the complex density in the packed pipeline
+    f = (jnp.fft.fftn(full[0].astype(jnp.complex64), axes=(1, 2, 3))
+         + 1j * jnp.fft.fftn(full[1].astype(jnp.complex64),
+                             axes=(1, 2, 3)))
+    return jnp.stack([jnp.real(f), jnp.imag(f)])
+
+
+def project_all_momenta_fft_pk(dens_pk: jax.Array, lat: Lattice,
+                               src_pos=(0, 0, 0)) -> np.ndarray:
+    """FULL momentum grid from one on-device spatial FFT — the cuFFT
+    projection path of the reference (C25; [U] plugin cuFFT plans over
+    the spatial volume per timeslice).  For O(1..10) momenta the
+    phase-list einsum (project_momenta_pk) is cheaper; for the dense
+    momentum sets of loop analyses the FFT wins.
+
+    dens_pk: packed [2ri, 2par, T, Z, S]; src_pos = (x0, y0, z0).
+    Returns complex HOST array [T, Lz, Ly, Lx] with
+    out[t, nz % Lz, ny % Ly, nx % Lx] == the phase-sum projection at
+    integer momentum n = (nx, ny, nz) (momentum_phases convention).
+    """
+    shift = (int(src_pos[2]), int(src_pos[1]), int(src_pos[0]))  # z,y,x
+    return _fetch_complex(_fft_project_kernel(dens_pk, lat=lat,
+                                              shift=shift))
+
+
 # --- open-spin bilinear density ---------------------------------------------
 
 def bilinear_density_pk(bwd_pk: jax.Array, fwd_pk: jax.Array) -> jax.Array:

@@ -109,6 +109,9 @@ class PhysicsParams:
     #: proton Wick engine with u <-> d swapped)
     baryons: tuple[str, ...] = ("proton",)
     momenta: tuple = ((0, 0, 0),)
+    #: fixed sink momentum p' for the sequential sources (reference
+    #: seqSourceFixSink momentum projection at the sink; q = p' - p)
+    sink_momentum: tuple = (0, 0, 0)
     #: meson two-point channels (gammas.MESON_CHANNELS names — the
     #: reference's ten-meson set); same Gamma at source and sink
     meson_channels: tuple[str, ...] = ("pion",)
@@ -121,6 +124,10 @@ class PhysicsParams:
     tsm_maxiter_cheap: int = 50
     tsm_tol: float = 1e-3                # truncated-solve tolerance
     n_deflate: int = 0
+    #: dump/reload the deflation eigenpairs (reference QKXTM_Deflation
+    #: eigenvector read/write [U]; SURVEY.md §6.4c) — .npz paths
+    eig_outfile: Optional[str] = None
+    eig_infile: Optional[str] = None
     dilute_t: int = 1                    # time-dilution classes (1 = off)
     dilute_sc: bool = False              # full spin-color dilution (12x)
     output: str = "results.h5"
@@ -182,6 +189,9 @@ def validate_config(cfg: "RunConfig") -> None:
     if bad:
         err(f"physics.meson_channels: unknown {bad!r}; known: "
             f"{sorted(MESON_CHANNELS)}")
+    if len(cfg.physics.sink_momentum) != 3:
+        err(f"physics.sink_momentum must be a 3-vector, "
+            f"got {cfg.physics.sink_momentum}")
     for b in cfg.physics.baryons:
         if b not in ("proton", "neutron"):
             err(f"physics.baryons entries must be proton | neutron, "
