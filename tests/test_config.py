@@ -152,3 +152,16 @@ def test_baryons_validated(tmp_path):
         "gauge: {dims: [8, 8, 8, 16]}\n"
         "physics: {baryons: [proton, neutron]}\n")))
     assert cfg.physics.baryons == ("proton", "neutron")
+
+
+def test_mom_max_sq_generates_momenta(tmp_path):
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "physics: {mom_max_sq: 1}\n")))
+    assert sorted(cfg.physics.momenta) == sorted([
+        (0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+        (0, 0, 1), (0, 0, -1)])
+    with pytest.raises(ConfigError, match="exclusive"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "physics: {mom_max_sq: 1, momenta: [[0, 0, 0]]}\n")))

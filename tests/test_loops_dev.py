@@ -116,3 +116,24 @@ def test_z4_noise_pk_statistics():
     assert eta.shape == (*LAT.full_shape, 4, 3)
     vals = np.unique(np.round(np.asarray(jnp.real(eta)), 6))
     assert set(vals) <= {-1.0, 0.0, 1.0}
+
+
+def test_loop_plain_pk_fft_path_matches_host():
+    """Dense momentum sets (>= FFT_MOM_THRESHOLD) route through the
+    on-device FFT projection and must match the host phase sums."""
+    from tpuqcd.phys.threep_dev import FFT_MOM_THRESHOLD
+    nmax = 2
+    moms = np.array([(nx, ny, nz)
+                     for nx in range(-nmax, nmax + 1)
+                     for ny in range(-nmax, nmax + 1)
+                     for nz in range(-nmax, nmax + 1)
+                     if nx * nx + ny * ny + nz * nz <= 4])
+    assert len(moms) >= FFT_MOM_THRESHOLD    # 33: the FFT path fires
+    eta = _rand_field(jax.random.PRNGKey(5))
+    psi = _rand_field(jax.random.PRNGKey(6))
+    want = loop_plain(eta, psi, INSERTION_GAMMAS, LAT, moms)
+    got = loop_plain_pk(full_to_packed(eta, LAT), full_to_packed(psi, LAT),
+                        INSERTION_GAMMAS, LAT, moms)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=3e-4, atol=5e-3, err_msg=k)

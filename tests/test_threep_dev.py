@@ -173,3 +173,27 @@ def test_project_all_momenta_fft_pk_matches_list():
     got = np.stack([grid[:, n[2] % LAT.Lz, n[1] % LAT.Ly, n[0] % LAT.Lx]
                     for n in moms])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_threep_ultralocal_fft_path_matches_host():
+    """>= FFT_MOM_THRESHOLD momenta take the FFT projection inside
+    threep_ultralocal_pk; results must match the host phase sums
+    (nonzero source position exercises the pre-FFT roll)."""
+    from tpuqcd.phys.threep_dev import FFT_MOM_THRESHOLD
+    nmax = 2
+    moms = np.array([(nx, ny, nz)
+                     for nx in range(-nmax, nmax + 1)
+                     for ny in range(-nmax, nmax + 1)
+                     for nz in range(-nmax, nmax + 1)
+                     if nx * nx + ny * ny + nz * nz <= 4])
+    assert len(moms) >= FFT_MOM_THRESHOLD
+    bwd = _rand_prop(jax.random.PRNGKey(40))
+    fwd = _rand_prop(jax.random.PRNGKey(41))
+    want = threep_ultralocal(bwd, fwd, INSERTION_GAMMAS, LAT, moms,
+                             src_pos=SRC)
+    got = threep_ultralocal_pk(prop_to_device(bwd, LAT),
+                               prop_to_device(fwd, LAT),
+                               INSERTION_GAMMAS, LAT, moms, src_pos=SRC)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=3e-4, atol=2e-2, err_msg=k)

@@ -81,11 +81,28 @@ def _loop_kernel(a_pk, b_pk, gr, gi, ph):
     return _weighted_project_all(loop_bilinear_pk(a_pk, b_pk), gr, gi, ph)
 
 
+@partial(jax.jit, static_argnames=("lat",))
+def _loop_fft_kernel(a_pk, b_pk, gr, gi, iz, iy, ix, *, lat):
+    from .threep_dev import _weighted_fft_project_all
+    return _weighted_fft_project_all(
+        loop_bilinear_pk(a_pk, b_pk), gr, gi, iz, iy, ix, lat=lat,
+        shift=(0, 0, 0))
+
+
 def _loop_all(a_pk, b_pk, mats: dict, lat, momenta) -> dict:
-    from .threep_dev import _fetch_complex, _gamma_stack, momentum_phases_pk
+    from .threep_dev import (FFT_MOM_THRESHOLD, _fetch_complex,
+                             _gamma_stack, _mom_indices,
+                             momentum_phases_pk)
     gr, gi = _gamma_stack(mats)
-    ph = jnp.asarray(momentum_phases_pk(lat, momenta), dtype=a_pk.dtype)
-    out = _loop_kernel(a_pk, b_pk, gr, gi, ph)
+    if len(momenta) >= FFT_MOM_THRESHOLD:
+        # dense momentum sets (physics.mom_max_sq) take one on-device
+        # FFT per gamma instead of an n x V phase einsum (C25 cuFFT)
+        iz, iy, ix = _mom_indices(lat, momenta)
+        out = _loop_fft_kernel(a_pk, b_pk, gr, gi, iz, iy, ix, lat=lat)
+    else:
+        ph = jnp.asarray(momentum_phases_pk(lat, momenta),
+                         dtype=a_pk.dtype)
+        out = _loop_kernel(a_pk, b_pk, gr, gi, ph)
     return {name: _fetch_complex(out[i]) for i, name in enumerate(mats)}
 
 

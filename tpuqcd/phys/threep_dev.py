@@ -188,6 +188,52 @@ def _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph):
                                  gr, gi, ph)
 
 
+#: momentum-list size at which the FFT projection beats the phase-list
+#: einsum (the einsum streams n x V phases; the FFT is V log V once)
+FFT_MOM_THRESHOLD = 32
+
+
+def _mom_indices(lat: Lattice, momenta: np.ndarray):
+    m = np.asarray(momenta, dtype=np.int64)
+    return (jnp.asarray(m[:, 2] % lat.Lz), jnp.asarray(m[:, 1] % lat.Ly),
+            jnp.asarray(m[:, 0] % lat.Lx))
+
+
+def _weighted_fft_project_all(D: jax.Array, gr: jax.Array, gi: jax.Array,
+                              iz, iy, ix, *, lat: Lattice,
+                              shift) -> jax.Array:
+    """FFT flavor of _weighted_project_all — same [G, 2ri, n, T] output,
+    one spatial FFT per (gamma, ri-plane) instead of an n x V phase
+    einsum (the reference's cuFFT projection, C25)."""
+    from ..fields import eo_to_full
+    sub = "agh,pghtzs->aptzs"
+    wre = (jnp.einsum(sub, gr, D[0], precision=_PREC)
+           - jnp.einsum(sub, gi, D[1], precision=_PREC))
+    wim = (jnp.einsum(sub, gr, D[1], precision=_PREC)
+           + jnp.einsum(sub, gi, D[0], precision=_PREC))
+    T, Z, Y, Xh = lat.Lt, lat.Lz, lat.Ly, lat.Lx // 2
+    G = wre.shape[0]
+    fr = eo_to_full(wre.reshape(G, 2, T, Z, Y, Xh), lat, site_ndim_left=1)
+    fi = eo_to_full(wim.reshape(G, 2, T, Z, Y, Xh), lat, site_ndim_left=1)
+    if any(shift):
+        roll = (-shift[0], -shift[1], -shift[2])
+        fr = jnp.roll(fr, roll, axis=(2, 3, 4))
+        fi = jnp.roll(fi, roll, axis=(2, 3, 4))
+    F = (jnp.fft.fftn(fr.astype(jnp.complex64), axes=(2, 3, 4))
+         + 1j * jnp.fft.fftn(fi.astype(jnp.complex64), axes=(2, 3, 4)))
+    g = F[:, :, iz, iy, ix]                        # [G, T, n]
+    g = jnp.moveaxis(g, 1, 2)                      # [G, n, T]
+    return jnp.stack([jnp.real(g), jnp.imag(g)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("lat", "shift"))
+def _ultralocal_fft_kernel(bwd_pk, fwd_pk, gr, gi, iz, iy, ix, *, lat,
+                           shift):
+    return _weighted_fft_project_all(
+        bilinear_density_pk(bwd_pk, fwd_pk), gr, gi, iz, iy, ix,
+        lat=lat, shift=shift)
+
+
 def _gamma_stack(gammas: dict, dtype=np.float32):
     mats = np.stack([np.asarray(g, dtype=np.complex64)
                      for g in gammas.values()])
@@ -208,9 +254,15 @@ def threep_ultralocal_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
     """
     gr, gi = _gamma_stack(gammas)
     sp = (src_pos[3], src_pos[2], src_pos[1])
-    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
-                     dtype=bwd_pk.dtype)
-    out = _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph)
+    if len(momenta) >= FFT_MOM_THRESHOLD:
+        iz, iy, ix = _mom_indices(lat, momenta)
+        out = _ultralocal_fft_kernel(
+            bwd_pk, fwd_pk, gr, gi, iz, iy, ix, lat=lat,
+            shift=(int(sp[2]), int(sp[1]), int(sp[0])))
+    else:
+        ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
+                         dtype=bwd_pk.dtype)
+        out = _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph)
     return {name: _fetch_complex(out[i])
             for i, name in enumerate(gammas)}
 

@@ -112,6 +112,11 @@ class PhysicsParams:
     #: fixed sink momentum p' for the sequential sources (reference
     #: seqSourceFixSink momentum projection at the sink; q = p' - p)
     sink_momentum: tuple = (0, 0, 0)
+    #: if set, physics.momenta is GENERATED as every integer 3-vector
+    #: with n.n <= mom_max_sq (the reference enumerates dense momentum
+    #: sets for loop/form-factor analyses and projects them via cuFFT;
+    #: large lists automatically take the on-device FFT projection)
+    mom_max_sq: Optional[int] = None
     #: meson two-point channels (gammas.MESON_CHANNELS names — the
     #: reference's ten-meson set); same Gamma at source and sink
     meson_channels: tuple[str, ...] = ("pion",)
@@ -337,5 +342,21 @@ def load_config(path: str) -> RunConfig:
         physics=_build(PhysicsParams, raw.get("physics", {})),
         mesh=_build(MeshParams, raw.get("mesh", {})),
     )
+    if cfg.physics.mom_max_sq is not None:
+        q2 = int(cfg.physics.mom_max_sq)
+        if q2 < 0:
+            raise ConfigError(f"physics.mom_max_sq must be >= 0, got {q2}")
+        if raw.get("physics", {}).get("momenta") is not None:
+            raise ConfigError(
+                "physics.momenta and physics.mom_max_sq are exclusive")
+        nmax = int(q2 ** 0.5)
+        moms = tuple(
+            (nx, ny, nz)
+            for nx in range(-nmax, nmax + 1)
+            for ny in range(-nmax, nmax + 1)
+            for nz in range(-nmax, nmax + 1)
+            if nx * nx + ny * ny + nz * nz <= q2)
+        cfg = dataclasses.replace(
+            cfg, physics=dataclasses.replace(cfg.physics, momenta=moms))
     validate_config(cfg)
     return cfg
