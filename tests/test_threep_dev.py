@@ -197,3 +197,48 @@ def test_threep_ultralocal_fft_path_matches_host():
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=3e-4, atol=2e-2, err_msg=k)
+
+
+def _dense_moms(q2max=4):
+    nmax = int(q2max ** 0.5)
+    return np.array([(nx, ny, nz)
+                     for nx in range(-nmax, nmax + 1)
+                     for ny in range(-nmax, nmax + 1)
+                     for nz in range(-nmax, nmax + 1)
+                     if nx * nx + ny * ny + nz * nz <= q2max])
+
+
+def test_project_momenta_pk_fft_dispatch_matches_list():
+    """project_momenta_pk itself dispatches to the FFT + gather at
+    >= FFT_MOM_THRESHOLD momenta (covers the 2pt engines)."""
+    from tpuqcd.fields import full_to_eo
+    from tpuqcd.phys.contract import project_momenta
+    from tpuqcd.phys.threep_dev import FFT_MOM_THRESHOLD
+    moms = _dense_moms()
+    assert len(moms) >= FFT_MOM_THRESHOLD
+    dens = (jax.random.normal(jax.random.PRNGKey(8), LAT.full_shape) +
+            1j * jax.random.normal(jax.random.PRNGKey(9), LAT.full_shape)
+            ).astype(jnp.complex64)
+    eo = full_to_eo(dens, LAT)
+    pk = jnp.stack([jnp.real(eo), jnp.imag(eo)]).reshape(
+        2, 2, LAT.Lt, LAT.Lz, LAT.Ly * LAT.Lx // 2)
+    sp = (SRC[3], SRC[2], SRC[1])
+    want = np.asarray(project_momenta(dens, LAT, moms, sp))
+    got = np.asarray(project_momenta_pk(pk, LAT, moms, sp))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_threep_one_derivative_fft_path_matches_host():
+    """Dense momenta route the one-derivative engine through the FFT."""
+    moms = _dense_moms()
+    u = su3.random_gauge(jax.random.PRNGKey(14), LAT)
+    u_pk = pack_gauge(gauge_to_device(gauge_full_to_eo(u, LAT), LAT))
+    bwd = _rand_prop(jax.random.PRNGKey(15))
+    fwd = _rand_prop(jax.random.PRNGKey(16))
+    bwd_pk, fwd_pk = prop_to_device(bwd, LAT), prop_to_device(fwd, LAT)
+    for mu, nu in ((0, 3), (2, 1)):
+        want = np.asarray(threep_one_derivative(
+            bwd, fwd, u, mu, nu, LAT, moms, src_pos=SRC))
+        got = np.asarray(threep_one_derivative_pk(
+            bwd_pk, fwd_pk, u_pk, mu, nu, LAT, moms, src_pos=SRC))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=2e-2)

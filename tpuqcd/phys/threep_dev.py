@@ -94,14 +94,22 @@ def _fetch_complex(planes: jax.Array) -> np.ndarray:
 def project_momenta_pk(dens_pk: jax.Array, lat: Lattice,
                        momenta: np.ndarray, src_pos=(0, 0, 0)) -> jax.Array:
     """Packed density [2ri, 2par, T, Z, S] -> complex [n_mom, T]; the
-    projection runs on device (C25; the density never leaves HBM)."""
+    projection runs on device (C25; the density never leaves HBM).
+    Momentum lists >= FFT_MOM_THRESHOLD take one on-device spatial FFT
+    + gather (the reference's cuFFT projection) instead of the n x V
+    phase einsum."""
+    if len(momenta) >= FFT_MOM_THRESHOLD:
+        iz, iy, ix = _mom_indices(lat, momenta)
+        shift = (int(src_pos[2]), int(src_pos[1]), int(src_pos[0]))
+        return _fetch_complex(_density_fft_gather(
+            dens_pk, iz, iy, ix, lat=lat, shift=shift))
     ph = jnp.asarray(momentum_phases_pk(lat, momenta, src_pos),
                      dtype=dens_pk.dtype)
     return _fetch_complex(_project_jit(dens_pk, ph))
 
 
-@partial(jax.jit, static_argnames=("lat", "shift"))
-def _fft_project_kernel(dens_pk, *, lat, shift):
+def _density_fft_full(dens_pk, lat, shift):
+    """Traced: packed density -> complex momentum grid [T, Z, Y, X]."""
     from ..fields import eo_to_full
     T, Z, Y, Xh = lat.Lt, lat.Lz, lat.Ly, lat.Lx // 2
     # [2ri, 2par, T, Z, S] -> full real planes [2ri, T, Z, Y, X]
@@ -112,9 +120,21 @@ def _fft_project_kernel(dens_pk, *, lat, shift):
                         axis=(2, 3, 4))
     # fftn is linear: fft(re) + i fft(im) == fft(re + i im); two real
     # inputs avoid forming the complex density in the packed pipeline
-    f = (jnp.fft.fftn(full[0].astype(jnp.complex64), axes=(1, 2, 3))
-         + 1j * jnp.fft.fftn(full[1].astype(jnp.complex64),
-                             axes=(1, 2, 3)))
+    return (jnp.fft.fftn(full[0].astype(jnp.complex64), axes=(1, 2, 3))
+            + 1j * jnp.fft.fftn(full[1].astype(jnp.complex64),
+                                axes=(1, 2, 3)))
+
+
+@partial(jax.jit, static_argnames=("lat", "shift"))
+def _fft_project_kernel(dens_pk, *, lat, shift):
+    f = _density_fft_full(dens_pk, lat, shift)
+    return jnp.stack([jnp.real(f), jnp.imag(f)])
+
+
+@partial(jax.jit, static_argnames=("lat", "shift"))
+def _density_fft_gather(dens_pk, iz, iy, ix, *, lat, shift):
+    f = _density_fft_full(dens_pk, lat, shift)[:, iz, iy, ix]  # [T, n]
+    f = jnp.swapaxes(f, 0, 1)                                  # [n, T]
     return jnp.stack([jnp.real(f), jnp.imag(f)])
 
 
@@ -442,6 +462,32 @@ def _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph, *, nu, lat):
                   - _weighted_project_all(d2, gr, gi, ph))
 
 
+@partial(jax.jit, static_argnames=("nu", "lat", "shift"))
+def _onederiv_fft_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, iz, iy, ix, *,
+                         nu, lat, shift):
+    ds = cov_deriv_sym_pk(u_pk, fwd_pk, nu, lat)
+    db = cov_deriv_sym_pk(u_pk, bwd_pk, nu, lat, conj_links=True)
+    d1 = bilinear_density_pk(bwd_pk, ds)
+    d2 = bilinear_density_pk(db, fwd_pk)
+    w = _weighted_fft_project_all
+    return 0.5 * (w(d1, gr, gi, iz, iy, ix, lat=lat, shift=shift)
+                  - w(d2, gr, gi, iz, iy, ix, lat=lat, shift=shift))
+
+
+def _onederiv_dispatch(bwd_pk, fwd_pk, u_pk, gr, gi, lat, momenta, sp,
+                       nu):
+    """Phase-list or FFT projection per the momentum-list size."""
+    if len(momenta) >= FFT_MOM_THRESHOLD:
+        iz, iy, ix = _mom_indices(lat, momenta)
+        return _onederiv_fft_kernel(
+            bwd_pk, fwd_pk, u_pk, gr, gi, iz, iy, ix, nu=int(nu),
+            lat=lat, shift=(int(sp[2]), int(sp[1]), int(sp[0])))
+    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
+                     dtype=fwd_pk.dtype)
+    return _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph,
+                            nu=int(nu), lat=lat)
+
+
 def threep_one_derivative_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
                              u_pk: jax.Array, mu: int, nu: int,
                              lat: Lattice, momenta: np.ndarray,
@@ -458,10 +504,8 @@ def threep_one_derivative_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
     from ..gammas import GAMMA
     gr, gi = _gamma_stack({m: GAMMA[m] for m in range(4)})
     sp = (src_pos[3], src_pos[2], src_pos[1])
-    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
-                     dtype=fwd_pk.dtype)
-    out = _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph,
-                           nu=int(nu), lat=lat)
+    out = _onederiv_dispatch(bwd_pk, fwd_pk, u_pk, gr, gi, lat, momenta,
+                             sp, nu)
     return _fetch_complex(out[int(mu)])
 
 
@@ -475,12 +519,10 @@ def threep_one_derivative_all_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
     from ..gammas import GAMMA
     gr, gi = _gamma_stack({m: GAMMA[m] for m in range(4)})
     sp = (src_pos[3], src_pos[2], src_pos[1])
-    ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
-                     dtype=fwd_pk.dtype)
     out = {}
     for nu in range(4):
-        all_mu = _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph,
-                                  nu=nu, lat=lat)
+        all_mu = _onederiv_dispatch(bwd_pk, fwd_pk, u_pk, gr, gi, lat,
+                                    momenta, sp, nu)
         for mu in range(4):
             out[f"der_g{mu}_D{nu}"] = _fetch_complex(all_mu[mu])
     return out
