@@ -165,3 +165,14 @@ def test_mom_max_sq_generates_momenta(tmp_path):
         load_config(_write(tmp_path, (
             "gauge: {dims: [8, 8, 8, 16]}\n"
             "physics: {mom_max_sq: 1, momenta: [[0, 0, 0]]}\n")))
+
+
+def test_smear_type_validated(tmp_path):
+    with pytest.raises(ConfigError, match="smear_type"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "physics: {smear_type: hyp}\n")))
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "physics: {smear_type: stout, smear_rho_stout: 0.12}\n")))
+    assert cfg.physics.smear_type == "stout"

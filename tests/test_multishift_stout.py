@@ -71,3 +71,24 @@ def test_solve_tm_musweep():
     assert xs.shape[0] == 3
     for i, mu in enumerate(mu_list):
         assert float(relres[i]) < 5e-6, (mu, float(relres[i]))
+
+
+def test_smeared_gauge_stout_dispatch():
+    """physics.smear_type: stout routes the smearing-gauge build through
+    3-D stout smearing (performSTOUTnStep wiring)."""
+    import jax
+    from tpuqcd.cli.common import smeared_gauge
+    from tpuqcd.ops.gauge_tools import stout_smear
+    from tpuqcd.utils.config import PhysicsParams, RunConfig
+    import dataclasses
+    import numpy as np
+    from tpuqcd import su3
+    from tpuqcd.fields import gauge_full_to_eo
+    from tpuqcd.ops.layout import gauge_to_device
+    u = su3.random_gauge(jax.random.PRNGKey(3), LAT)
+    u_dev = gauge_to_device(gauge_full_to_eo(u, LAT), LAT)
+    cfg = RunConfig(physics=PhysicsParams(
+        smear_type="stout", smear_n_ape=2, smear_rho_stout=0.1))
+    got = smeared_gauge(cfg, LAT, u_dev)
+    want = stout_smear(u_dev, LAT, rho=0.1, n_steps=2, spatial_only=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

@@ -176,10 +176,19 @@ def setup_gauge(cfg):
 
 
 def smeared_gauge(cfg, lat, u_dev):
-    """APE-smeared gauge for Gaussian smearing (no boundary phase)."""
-    from ..ops.gauge_tools import ape_smear
+    """APE- or stout-smeared gauge for Gaussian smearing (no boundary
+    phase; physics.smear_type, reference performAPEnStep /
+    performSTOUTnStep [U] C16)."""
     if cfg.physics.smear_n_ape <= 0:
         return u_dev
+    if cfg.physics.smear_type == "stout":
+        from ..ops.gauge_tools import stout_smear
+        log.info("stout smearing: rho=%.3f n=%d",
+                 cfg.physics.smear_rho_stout, cfg.physics.smear_n_ape)
+        return stout_smear(u_dev, lat, rho=cfg.physics.smear_rho_stout,
+                           n_steps=cfg.physics.smear_n_ape,
+                           spatial_only=True)  # smearing links are 3-D
+    from ..ops.gauge_tools import ape_smear
     log.info("APE smearing: alpha=%.3f n=%d", cfg.physics.smear_alpha_ape,
              cfg.physics.smear_n_ape)
     return ape_smear(u_dev, lat, alpha=cfg.physics.smear_alpha_ape,

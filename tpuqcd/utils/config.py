@@ -120,8 +120,12 @@ class PhysicsParams:
     #: meson two-point channels (gammas.MESON_CHANNELS names — the
     #: reference's ten-meson set); same Gamma at source and sink
     meson_channels: tuple[str, ...] = ("pion",)
+    #: gauge smearing for the Gaussian-smearing links: ape (reference
+    #: default, performAPEnStep) or stout (performSTOUTnStep)
+    smear_type: str = "ape"
     smear_alpha_ape: float = 0.5
     smear_n_ape: int = 10
+    smear_rho_stout: float = 0.1
     smear_alpha_gauss: float = 4.0
     smear_n_gauss: int = 30
     n_noise: int = 12
@@ -194,6 +198,9 @@ def validate_config(cfg: "RunConfig") -> None:
     if bad:
         err(f"physics.meson_channels: unknown {bad!r}; known: "
             f"{sorted(MESON_CHANNELS)}")
+    if cfg.physics.smear_type not in ("ape", "stout"):
+        err(f"physics.smear_type must be ape | stout, "
+            f"got {cfg.physics.smear_type!r}")
     if len(cfg.physics.sink_momentum) != 3:
         err(f"physics.sink_momentum must be a 3-vector, "
             f"got {cfg.physics.sink_momentum}")
