@@ -20,10 +20,15 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache (the reference's tunecache.tsv role,
-# SURVEY.md C14/X1, extended to whole programs): remote TPU compiles cost
-# 20-120 s per shape, so fresh processes replay them from disk.  Opt out
-# with TPUQCD_NO_COMPILE_CACHE=1; respects a user-set cache dir.
-if not _os.environ.get("TPUQCD_NO_COMPILE_CACHE"):
+# SURVEY.md C14/X1): enabled by the CLI entry points for NON-CPU runs
+# only (cli/common.py).  Do NOT enable it here at import time: XLA:CPU
+# AOT executables are host-CPU-feature-sensitive and reloading an entry
+# written on a different machine SEGFAULTS (observed: cache written on
+# an AVX512/prefer-no-scatter host crashed test_mg_batched on this VM
+# inside compilation_cache.get_executable_and_time).  Library users on
+# an accelerator can opt in with TPUQCD_COMPILE_CACHE=1 or by setting
+# JAX_COMPILATION_CACHE_DIR themselves.
+if _os.environ.get("TPUQCD_COMPILE_CACHE"):
     if _jax.config.jax_compilation_cache_dir is None:
         _d = _os.path.join(
             _os.environ.get("TPUQCD_RESOURCE_PATH",

@@ -366,6 +366,12 @@ def proton_seq_source_pk(su_pk: jax.Array, sd_pk: jax.Array, t_sink: int,
     complex arithmetic on the accelerator.  Matches
     phys/threep.proton_seq_source via prop_to_device.
 
+    t_sink and the sink-momentum phases enter the traced kernel as
+    DYNAMIC arguments, so one (remote) compile per (leg, projector)
+    serves every sink time, sink momentum, and source position — the
+    compile-bound production regime (BASELINE.md: setup is ~97%
+    compile on the axon backend).
+
     Returns the packed seq-source propagator
     [2ri, 2par, 4, 3, 4, 3, T, Z, S] supported on t_sink.
     """
@@ -374,35 +380,37 @@ def proton_seq_source_pk(su_pk: jax.Array, sd_pk: jax.Array, t_sink: int,
         proj = PARITY_PLUS
     mom = np.zeros((1, 3)) if snk_mom is None else np.asarray([snk_mom])
     from .contract_dev import _on_cpu
-    fn = _seq_source_jit(lat, int(t_sink), flavor_leg, np.asarray(proj),
-                         mom, eager=_on_cpu(su_pk, sd_pk))
-    return fn(su_pk, sd_pk)
+    fn = _seq_source_jit(lat, flavor_leg, np.asarray(proj),
+                         eager=_on_cpu(su_pk, sd_pk))
+    ph = momentum_phases_pk(lat, mom)[:, 0]           # [2ri,2par,T,Z,S]
+    phr = jnp.asarray(ph[0][:, int(t_sink)])          # [2par, Z, S]
+    phi = jnp.asarray(ph[1][:, int(t_sink)])
+    return fn(su_pk, sd_pk, phr, phi, np.int32(t_sink))
 
 
 _SEQ_JIT: dict = {}
 
 
-def _seq_source_jit(lat, t_sink, flavor_leg, proj, mom, eager=False):
+def _seq_source_jit(lat, flavor_leg, proj, eager=False):
     """jit cache for the grad-of-Wick-engine sequential source (one
-    compile per (geometry, t_sink, leg, projector, sink momentum)).
+    compile per (geometry, leg, projector); t_sink + phases dynamic).
     ``eager=True`` skips the jit — on CPU the unrolled-graph compile
     takes minutes while the eager evaluation is fast."""
-    key = (lat.dims, t_sink, flavor_leg, proj.tobytes(), mom.tobytes(),
-           eager)
+    key = (lat.dims, flavor_leg, proj.tobytes(), eager)
     if key in _SEQ_JIT:
         return _SEQ_JIT[key]
     from .contract_dev import proton_2pt_site_dev
-    ph = momentum_phases_pk(lat, mom)[:, 0]
-    phr = jnp.asarray(ph[0][:, t_sink])               # [2par, Z, S]
-    phi = jnp.asarray(ph[1][:, t_sink])
 
-    def fn(su_pk, sd_pk):
+    def fn(su_pk, sd_pk, phr, phi, t_idx):
         def c2_re(s_var):
             if flavor_leg == "u":
                 dens = proton_2pt_site_dev(s_var, sd_pk, proj)
             else:
                 dens = proton_2pt_site_dev(su_pk, s_var, proj)
-            dr, di = dens[0][:, t_sink], dens[1][:, t_sink]
+            dr = jax.lax.dynamic_index_in_dim(dens[0], t_idx, axis=1,
+                                              keepdims=False)
+            di = jax.lax.dynamic_index_in_dim(dens[1], t_idx, axis=1,
+                                              keepdims=False)
             return jnp.sum(phr * dr - phi * di)
 
         s_in = su_pk if flavor_leg == "u" else sd_pk
