@@ -33,7 +33,7 @@ def _measure(cfg):
     from ..phys.contract import meson_2pt, proton_2pt
     from ..phys.contract_dev import meson_2pt_dev, proton_2pt_dev
     from ..phys.propagator import (assemble_propagator_pk, point_sources,
-                                   sink_smear_packed, smear_sources)
+                                   smear_sources)
 
     lat, u_full, u_pk, u_dev = setup_gauge(cfg)
     u_sm = smeared_gauge(cfg, lat, u_dev)
@@ -70,16 +70,15 @@ def _measure(cfg):
                      " (batched rhs)" if use_dev else "")
             if use_dev:
                 xs = solve.packed_src_batch(b_pks, flavor=flavor)
-                cols = []
-                for i in range(12):
-                    x = xs[i]
-                    if cfg.physics.smear_n_gauss > 0:
-                        x = sink_smear_packed(
-                            u_sm_acc, x, lat,
-                            cfg.physics.smear_alpha_gauss,
-                            cfg.physics.smear_n_gauss)
-                    cols.append(x)
-                props[name] = assemble_propagator_pk(cols)
+                p = assemble_propagator_pk([xs[i] for i in range(12)])
+                if cfg.physics.smear_n_gauss > 0:
+                    # one vmapped dispatch for all 12 sink columns
+                    from ..phys.propagator import sink_smear_prop_pk
+                    p = sink_smear_prop_pk(
+                        u_sm_acc, p, lat,
+                        cfg.physics.smear_alpha_gauss,
+                        cfg.physics.smear_n_gauss)
+                props[name] = p
             else:
                 cols = [solve(srcs[s, c], flavor=flavor)
                         for s in range(4) for c in range(3)]
