@@ -77,3 +77,35 @@ def test_native_ildg_ingest_matches_python(tmp_path):
     want = np.asarray(pack_gauge(gauge_to_device(
         gauge_full_to_eo(u_bc, LAT), LAT)))
     np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_scidac_checksum_roundtrip_and_corruption(tmp_path):
+    """Writer emits the QIO site-rank checksum; the reader verifies it
+    and rejects a corrupted payload (reference QIO read discipline)."""
+    import jax
+    from tpuqcd import su3
+    from tpuqcd.io.lime import (read_ildg_gauge, read_lime, write_lime,
+                                write_ildg_gauge)
+    from tpuqcd.lattice import Lattice
+    lat = Lattice((2, 2, 2, 4))
+    u = np.asarray(su3.random_gauge(jax.random.PRNGKey(5), lat))
+    p = str(tmp_path / "cfg.lime")
+    write_ildg_gauge(p, u, lat)
+    recs = read_lime(p)
+    assert any(r.lime_type == "scidac-checksum" for r in recs)
+    u2, _ = read_ildg_gauge(p)          # verifies silently
+    np.testing.assert_allclose(u2, u, atol=1e-7)
+    # flip one byte of the binary payload -> reader must reject
+    bad = [r for r in recs]
+    for r in bad:
+        if r.lime_type == "ildg-binary-data":
+            d = bytearray(r.data)
+            d[100] ^= 0xFF
+            r.data = bytes(d)
+    pbad = str(tmp_path / "bad.lime")
+    write_lime(pbad, bad)
+    import pytest
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        read_ildg_gauge(pbad)
+    # and loads fine when verification is explicitly disabled
+    read_ildg_gauge(pbad, verify_checksum=False)
