@@ -90,16 +90,21 @@ def _loop_fft_kernel(a_pk, b_pk, gr, gi, iz, iy, ix, *, lat):
 
 
 def _loop_all(a_pk, b_pk, mats: dict, lat, momenta) -> dict:
-    from .threep_dev import (FFT_MOM_THRESHOLD, _fetch_complex,
-                             _gamma_stack, _mom_indices,
+    from .threep_dev import (_fetch_complex, _gamma_stack, _mom_indices,
+                             _note_fft_failure, _use_fft,
                              momentum_phases_pk)
     gr, gi = _gamma_stack(mats)
-    if len(momenta) >= FFT_MOM_THRESHOLD:
+    out = None
+    if _use_fft(momenta):
         # dense momentum sets (physics.mom_max_sq) take one on-device
         # FFT per gamma instead of an n x V phase einsum (C25 cuFFT)
         iz, iy, ix = _mom_indices(lat, momenta)
-        out = _loop_fft_kernel(a_pk, b_pk, gr, gi, iz, iy, ix, lat=lat)
-    else:
+        try:
+            out = np.asarray(_loop_fft_kernel(a_pk, b_pk, gr, gi,
+                                              iz, iy, ix, lat=lat))
+        except Exception as e:            # pragma: no cover - TPU only
+            _note_fft_failure(e)
+    if out is None:
         ph = jnp.asarray(momentum_phases_pk(lat, momenta),
                          dtype=a_pk.dtype)
         out = _loop_kernel(a_pk, b_pk, gr, gi, ph)

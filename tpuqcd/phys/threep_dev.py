@@ -98,11 +98,14 @@ def project_momenta_pk(dens_pk: jax.Array, lat: Lattice,
     Momentum lists >= FFT_MOM_THRESHOLD take one on-device spatial FFT
     + gather (the reference's cuFFT projection) instead of the n x V
     phase einsum."""
-    if len(momenta) >= FFT_MOM_THRESHOLD:
+    if _use_fft(momenta):
         iz, iy, ix = _mom_indices(lat, momenta)
         shift = (int(src_pos[2]), int(src_pos[1]), int(src_pos[0]))
-        return _fetch_complex(_density_fft_gather(
-            dens_pk, iz, iy, ix, lat=lat, shift=shift))
+        try:
+            return _fetch_complex(_density_fft_gather(
+                dens_pk, iz, iy, ix, lat=lat, shift=shift))
+        except Exception as e:            # pragma: no cover - TPU only
+            _note_fft_failure(e)
     ph = jnp.asarray(momentum_phases_pk(lat, momenta, src_pos),
                      dtype=dens_pk.dtype)
     return _fetch_complex(_project_jit(dens_pk, ph))
@@ -212,6 +215,24 @@ def _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph):
 #: einsum (the einsum streams n x V phases; the FFT is V log V once)
 FFT_MOM_THRESHOLD = 32
 
+#: set True after the first on-device FFT failure (the axon TPU backend
+#: has partial complex-op coverage; errors can surface asynchronously
+#: at the result fetch) — every dispatch then falls back to phase sums
+_FFT_DISABLED = False
+
+
+def _use_fft(momenta) -> bool:
+    return (not _FFT_DISABLED) and len(momenta) >= FFT_MOM_THRESHOLD
+
+
+def _note_fft_failure(e: Exception) -> None:
+    global _FFT_DISABLED
+    _FFT_DISABLED = True
+    import logging
+    logging.getLogger("tpuqcd").warning(
+        "on-device FFT projection unavailable on this backend (%s); "
+        "falling back to phase-list sums for this process", e)
+
 
 def _mom_indices(lat: Lattice, momenta: np.ndarray):
     m = np.asarray(momenta, dtype=np.int64)
@@ -274,12 +295,16 @@ def threep_ultralocal_pk(bwd_pk: jax.Array, fwd_pk: jax.Array,
     """
     gr, gi = _gamma_stack(gammas)
     sp = (src_pos[3], src_pos[2], src_pos[1])
-    if len(momenta) >= FFT_MOM_THRESHOLD:
+    out = None
+    if _use_fft(momenta):
         iz, iy, ix = _mom_indices(lat, momenta)
-        out = _ultralocal_fft_kernel(
-            bwd_pk, fwd_pk, gr, gi, iz, iy, ix, lat=lat,
-            shift=(int(sp[2]), int(sp[1]), int(sp[0])))
-    else:
+        try:
+            out = np.asarray(_ultralocal_fft_kernel(
+                bwd_pk, fwd_pk, gr, gi, iz, iy, ix, lat=lat,
+                shift=(int(sp[2]), int(sp[1]), int(sp[0]))))
+        except Exception as e:            # pragma: no cover - TPU only
+            _note_fft_failure(e)
+    if out is None:
         ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
                          dtype=bwd_pk.dtype)
         out = _ultralocal_kernel(bwd_pk, fwd_pk, gr, gi, ph)
@@ -485,11 +510,14 @@ def _onederiv_fft_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, iz, iy, ix, *,
 def _onederiv_dispatch(bwd_pk, fwd_pk, u_pk, gr, gi, lat, momenta, sp,
                        nu):
     """Phase-list or FFT projection per the momentum-list size."""
-    if len(momenta) >= FFT_MOM_THRESHOLD:
+    if _use_fft(momenta):
         iz, iy, ix = _mom_indices(lat, momenta)
-        return _onederiv_fft_kernel(
-            bwd_pk, fwd_pk, u_pk, gr, gi, iz, iy, ix, nu=int(nu),
-            lat=lat, shift=(int(sp[2]), int(sp[1]), int(sp[0])))
+        try:
+            return np.asarray(_onederiv_fft_kernel(
+                bwd_pk, fwd_pk, u_pk, gr, gi, iz, iy, ix, nu=int(nu),
+                lat=lat, shift=(int(sp[2]), int(sp[1]), int(sp[0]))))
+        except Exception as e:            # pragma: no cover - TPU only
+            _note_fft_failure(e)
     ph = jnp.asarray(momentum_phases_pk(lat, momenta, sp),
                      dtype=fwd_pk.dtype)
     return _onederiv_kernel(bwd_pk, fwd_pk, u_pk, gr, gi, ph,
