@@ -275,3 +275,30 @@ def test_pallas_bf16_compute():
                             interpret=True)
     got2 = np.asarray(unpack_spinor(out2.astype(jnp.float32)))
     np.testing.assert_allclose(got2, ref2, atol=0.05 * np.abs(ref2).max())
+
+
+def test_packed_operator_recon12_periodic_boundary():
+    """The production operators slice to reconstruct-12; with a PERIODIC
+    gauge (t_boundary=+1, gauge.antiperiodic_t: false) the row-2 rebuild
+    must not reintroduce the antiperiodic phase (code-review finding:
+    the slice originally hardcoded t_boundary=-1)."""
+    from tpuqcd.operators import PackedTMOperatorPC
+    u = su3.random_gauge_dev(jax.random.PRNGKey(5), LAT)  # NO phase
+    psi = random_spinor_dev(jax.random.PRNGKey(6), LAT, parities=1)
+    u_pk, psi_pk = pack_gauge(u), pack_spinor(psi)
+    want = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU,
+                              backend="xla").apply(u_pk, psi_pk)
+    got = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend="pallas",
+                             interpret=True,
+                             t_boundary=+1).apply(u_pk, psi_pk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+    # and the antiperiodic default still matches on a phased gauge
+    u_bc, psi2 = _setup()
+    u_bc_pk, psi2_pk = pack_gauge(u_bc), pack_spinor(psi2)
+    want = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU,
+                              backend="xla").apply(u_bc_pk, psi2_pk)
+    got = PackedTMOperatorPC(LAT, kappa=KAPPA, mu=MU, backend="pallas",
+                             interpret=True).apply(u_bc_pk, psi2_pk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

@@ -25,23 +25,6 @@ def parse_args(description: str):
     ap.add_argument("--device", default=None,
                     help="cpu to force the CPU backend")
     args = ap.parse_args()
-    # persistent XLA compilation cache: MG setup is ~97% compile time
-    # (measured 101 s cold vs 3.4 s warm in-process at 32^3x64), so any
-    # cross-process compile reuse is free wallclock (~20% on the
-    # remote-compile axon backend, more on local backends).  The
-    # reference's QUDA_RESOURCE_PATH tunecache plays the same role.
-    # (TPU runs only: on CPU the cache saves little and XLA's AOT
-    # loader warns/SIGILL-risks on any host-feature skew when reloading)
-    if args.device != "cpu" and not os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR"):
-        cache_dir = os.path.join(
-            os.environ.get("TPUQCD_RESOURCE_PATH",
-                           os.path.expanduser("~/.cache/tpuqcd")), "xla")
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-        except Exception:
-            pass
     # multi-process launch (TPUQCD_DIST=1, one process per host): form
     # the global runtime BEFORE the first device touch below
     from ..parallel.dist import init_distributed
@@ -62,6 +45,25 @@ def parse_args(description: str):
     global _ACCEL
     if args.device == "cpu":
         _ACCEL = jax.devices("cpu")[0]
+    # persistent XLA compilation cache: MG setup is ~97% compile time
+    # (measured 101 s cold vs 3.4 s warm in-process at 32^3x64), so any
+    # cross-process compile reuse is free wallclock (~20% on the
+    # remote-compile axon backend).  The reference's QUDA_RESOURCE_PATH
+    # tunecache plays the same role.  Gated on the ACTUAL accelerator
+    # platform, not the --device flag: XLA:CPU AOT executables are
+    # host-feature-sensitive and reloading one written on a different
+    # machine segfaults.  TPUQCD_NO_COMPILE_CACHE=1 opts out.
+    if (accel().platform != "cpu"
+            and not os.environ.get("TPUQCD_NO_COMPILE_CACHE")
+            and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+        cache_dir = os.path.join(
+            os.environ.get("TPUQCD_RESOURCE_PATH",
+                           os.path.expanduser("~/.cache/tpuqcd")), "xla")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:
+            pass
     from ..utils.config import load_config
     return load_config(args.config), args
 
@@ -214,13 +216,16 @@ def _mg_fine_level(cfg, lat, u_pk, flavor, lmesh=None):
             lat, lmesh, u32, cfg.action.kappa, cfg.action.mu,
             flavor=flavor, backend=cfg.solver.backend,
             clover_pk=cl_pk, csw=float(getattr(cfg.action, "csw", 0.0)))
+    tb = -1 if cfg.gauge.antiperiodic_t else +1
     if cl_pk is not None:
         return DeviceFineCloverLevel(lat, u32, cl_pk, cfg.action.kappa,
                                      cfg.action.mu, csw=cfg.action.csw,
                                      flavor=flavor,
-                                     backend=cfg.solver.backend)
+                                     backend=cfg.solver.backend,
+                                     t_boundary=tb)
     return DeviceFineLevel(lat, u32, cfg.action.kappa, cfg.action.mu,
-                           flavor, backend=cfg.solver.backend)
+                           flavor, backend=cfg.solver.backend,
+                           t_boundary=tb)
 
 
 def make_solver(cfg, lat, u_pk, u_full):
@@ -385,7 +390,8 @@ def make_solver(cfg, lat, u_pk, u_full):
             if flavor not in solvers:
                 solvers[flavor] = EigCGSolver(
                     u_acc, lat, kappa=cfg.action.kappa, mu=cfg.action.mu,
-                    flavor=flavor, backend=cfg.solver.backend)
+                    flavor=flavor, backend=cfg.solver.backend,
+                    t_boundary=-1 if cfg.gauge.antiperiodic_t else +1)
             return solvers[flavor]
 
         def solve_pk_src(b_pk, flavor=+1):
@@ -554,7 +560,8 @@ def make_solver(cfg, lat, u_pk, u_full):
                        inner_tol=cfg.solver.inner_tol,
                        solver=cfg.solver.solver, sloppy_dtype=sloppy,
                        backend=cfg.solver.backend, csw=csw,
-                       clover=clover_)
+                       clover=clover_,
+                       t_boundary=-1 if cfg.gauge.antiperiodic_t else +1)
         # return PACKED (f32 pairs): full-layout complex outputs cannot
         # materialize on the axon TPU backend (small trailing dims)
         return res.x.astype(jnp.float32), res.relres, res.iters
@@ -589,7 +596,9 @@ def make_solver(cfg, lat, u_pk, u_full):
                              solver=cfg.solver.solver,
                              sloppy_dtype=sloppy,
                              backend=cfg.solver.backend, csw=csw,
-                             clover=clover_)
+                             clover=clover_,
+                             t_boundary=-1 if cfg.gauge.antiperiodic_t
+                             else +1)
         return res.x.astype(jnp.float32), res.relres, res.iters
 
     def solve_pk_src_batch(b_pks, flavor=+1):

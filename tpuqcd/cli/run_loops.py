@@ -159,7 +159,9 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
     if ph.n_deflate > 0 and ph.eig_infile:
         # reference QKXTM_Deflation eigenvector reload ([U] SURVEY §6.4c)
         from ..utils.checkpoint import load_eigenpairs
-        _evals, evs = load_eigenpairs(ph.eig_infile)
+        _evals, evs = load_eigenpairs(ph.eig_infile,
+                                      expect_layout="packed",
+                                      n_expect=ph.n_deflate)
         evecs = jnp.stack([solve.put(v) for v in evs])
         log.info("loaded %d deflation eigenpairs from %s",
                  evecs.shape[0], ph.eig_infile)
@@ -174,17 +176,23 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
             from ..utils.packed import pack_clover, unpack_gauge
             a = clover_blocks(unpack_gauge(u32), lat, ka, csw)
             cl_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
+            tb = -1 if cfg.gauge.antiperiodic_t else +1
             lv_p = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
                                          csw=csw, flavor=+1,
-                                         backend=cfg.solver.backend)
+                                         backend=cfg.solver.backend,
+                                         t_boundary=tb)
             lv_m = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
                                          csw=csw, flavor=-1,
-                                         backend=cfg.solver.backend)
+                                         backend=cfg.solver.backend,
+                                         t_boundary=tb)
         else:
+            tb = -1 if cfg.gauge.antiperiodic_t else +1
             lv_p = DeviceFineLevel(lat, u32, ka, mu_, +1,
-                                   backend=cfg.solver.backend)
+                                   backend=cfg.solver.backend,
+                                   t_boundary=tb)
             lv_m = DeviceFineLevel(lat, u32, ka, mu_, -1,
-                                   backend=cfg.solver.backend)
+                                   backend=cfg.solver.backend,
+                                   t_boundary=tb)
         g5mg = jnp.asarray(g5d, jnp.float32).reshape(1, 1, 4, 1, 1, 1, 1)
 
         @jax.jit
@@ -205,7 +213,8 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
                  float(_evals[0]))
         if ph.eig_outfile:
             from ..utils.checkpoint import save_eigenpairs
-            save_eigenpairs(ph.eig_outfile, _evals, list(evecs))
+            save_eigenpairs(ph.eig_outfile, _evals, list(evecs),
+                            layout="packed")
             log.info("wrote deflation eigenpairs -> %s", ph.eig_outfile)
 
     kw = dict(u_pk=u_acc, derivs=True, dilute_t=ph.dilute_t,
@@ -274,7 +283,9 @@ def _run_host(cfg, lat, u_full, u_pk, solve, keys, keys_cheap, momenta,
     evecs = None
     if ph.n_deflate > 0 and ph.eig_infile:
         from ..utils.checkpoint import load_eigenpairs
-        _evals, evecs = load_eigenpairs(ph.eig_infile)
+        _evals, evecs = load_eigenpairs(ph.eig_infile,
+                                        expect_layout="full",
+                                        n_expect=ph.n_deflate)
         log.info("loaded %d deflation eigenpairs from %s",
                  len(evecs), ph.eig_infile)
         deflate_fn = make_deflate(evecs)
@@ -309,7 +320,7 @@ def _run_host(cfg, lat, u_full, u_pk, solve, keys, keys_cheap, momenta,
         deflate_fn = make_deflate(evecs)
         if ph.eig_outfile:
             from ..utils.checkpoint import save_eigenpairs
-            save_eigenpairs(ph.eig_outfile, _evals, evecs)
+            save_eigenpairs(ph.eig_outfile, _evals, evecs, layout="full")
             log.info("wrote deflation eigenpairs -> %s", ph.eig_outfile)
 
     kw = dict(u_full=u_full, derivs=True, dilute_t=ph.dilute_t,

@@ -206,7 +206,8 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
                 names = list(c3.keys())
                 arr = np.stack([np.asarray(c3[k]) for k in names])
                 write_threep(cfg.physics.output,
-                             f"threep/{baryon}/{pname}/{phys}/{tag}",
+                             f"threep/{baryon}/{pname}/{phys}/"
+                             f"ts{t_sink}/{tag}",
                              arr, momenta, names, src, t_sink,
                              meta=meta)
                 # one-derivative insertions gamma_mu D_nu
@@ -227,7 +228,8 @@ def _threep(cfg, lat, solve, use_dev, baryon, pu, pd, props, phys_of,
                             dnames.append(f"der_g{mu_}_D{nu_}")
                             dcorrs.append(np.asarray(c3d))
                 write_threep(cfg.physics.output,
-                             f"threep_der/{baryon}/{pname}/{phys}/{tag}",
+                             f"threep_der/{baryon}/{pname}/{phys}/"
+                             f"ts{t_sink}/{tag}",
                              np.stack(dcorrs), momenta, dnames, src,
                              t_sink, meta=meta)
 

@@ -387,6 +387,10 @@ class PackedTMOperatorPC:
     flavor: int = +1
     backend: str = "pallas"
     interpret: bool = False
+    #: fermion T-boundary phase baked into the stored links (-1
+    #: antiperiodic, the production convention; +1 periodic).  The
+    #: reconstruct-12 row rebuild must restore exactly this phase.
+    t_boundary: int = -1
 
     def _pallas(self, u_pk, psi_pk, parity, dagger, epilogue, flavor,
                 psi0=None):
@@ -399,7 +403,8 @@ class PackedTMOperatorPC:
         return dslash_eo_pallas(u_pk, psi_pk, parity, self.lat,
                                 dagger=dagger, epilogue=epilogue,
                                 kappa=self.kappa, mu=self.mu, flavor=flavor,
-                                psi0_pk=psi0, interpret=self.interpret)
+                                psi0_pk=psi0, interpret=self.interpret,
+                                t_boundary=self.t_boundary)
 
     def _apply(self, u_pk, psi_pk, dagger: bool):
         f = self.flavor if not dagger else -self.flavor
@@ -484,6 +489,7 @@ class PackedTMCloverOperatorPC:
     flavor: int = +1
     backend: str = "pallas"
     interpret: bool = False
+    t_boundary: int = -1     # see PackedTMOperatorPC
 
     @staticmethod
     def make_fields(u_pk: jax.Array, clover: "CloverData"):
@@ -505,7 +511,8 @@ class PackedTMCloverOperatorPC:
                                 dagger=dagger, epilogue=epilogue,
                                 kappa=self.kappa, mu=self.mu, flavor=f,
                                 clover_pk=clover_pk, psi0_pk=psi0,
-                                interpret=self.interpret)
+                                interpret=self.interpret,
+                                t_boundary=self.t_boundary)
 
     def _clinv(self, fields, f):
         return fields[2] if f == +1 else fields[3]
@@ -604,6 +611,7 @@ class PackedNdegTMOperatorPC:
     epsbar: float
     backend: str = "pallas"
     interpret: bool = False
+    t_boundary: int = -1     # see PackedTMOperatorPC
 
     def _t_e(self, flip):
         t = 2.0 * self.kappa * self.mubar * (1 if not flip else -1)
@@ -634,7 +642,8 @@ class PackedNdegTMOperatorPC:
                 u12 = u_pk[:, :, :2] if u_pk.shape[2] == 3 else u_pk
                 return dslash_eo_pallas(u12, psi, parity, self.lat,
                                         dagger=dagger,
-                                        interpret=self.interpret)
+                                        interpret=self.interpret,
+                                        t_boundary=self.t_boundary)
             from .ops.dslash_xla import dslash_eo_dev_ri
             return dslash_eo_dev_ri(u_pk, psi, parity, self.lat,
                                     dagger=dagger)

@@ -407,10 +407,25 @@ def proton_seq_source_pk(su_pk: jax.Array, sd_pk: jax.Array, t_sink: int,
     from .contract_dev import _on_cpu
     fn = _seq_source_jit(lat, flavor_leg, np.asarray(proj),
                          eager=_on_cpu(su_pk, sd_pk))
-    ph = momentum_phases_pk(lat, mom)[:, 0]           # [2ri,2par,T,Z,S]
-    phr = jnp.asarray(ph[0][:, int(t_sink)])          # [2par, Z, S]
-    phi = jnp.asarray(ph[1][:, int(t_sink)])
-    return fn(su_pk, sd_pk, phr, phi, np.int32(t_sink))
+    ph = _phases_t_slice_pk(lat, mom, int(t_sink))    # [2ri, 2par, Z, S]
+    return fn(su_pk, sd_pk, jnp.asarray(ph[0]), jnp.asarray(ph[1]),
+              np.int32(t_sink))
+
+
+def _phases_t_slice_pk(lat: Lattice, mom: np.ndarray,
+                       t: int) -> np.ndarray:
+    """Packed momentum phases for ONE timeslice: [2ri, 2par, Z, S]
+    (the t_sink row of momentum_phases_pk without the O(volume) full
+    build — this runs per (t_sink, projector, leg) in the 3pt inner
+    loop)."""
+    ph = momentum_phases(lat, mom)[0].astype(np.complex64)   # [Z, Y, X]
+    sm = (np.asarray(lat.eo_sub_parity)[t] == 1)[:, :, None]  # [Z, Y, 1]
+    ph0, ph1 = ph[:, :, 0::2], ph[:, :, 1::2]
+    even = np.where(sm, ph1, ph0)
+    odd = np.where(sm, ph0, ph1)
+    pk = np.stack([even, odd]).reshape(2, lat.Lz,
+                                       lat.Ly * lat.Lx // 2)
+    return np.stack([pk.real, pk.imag]).astype(np.float32)
 
 
 _SEQ_JIT: dict = {}

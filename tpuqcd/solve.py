@@ -98,7 +98,7 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
              inner_tol: float = 1e-5, solver: str = "cg",
              sloppy_dtype=jnp.float32, backend: str = "pallas",
              interpret: bool = False, csw: float = 0.0,
-             clover=None) -> SolveResult:
+             clover=None, t_boundary: int = -1) -> SolveResult:
     """Solve the full (two-parity) twisted-mass(-clover) system M x = b.
 
     u_pk: packed gauge [4,2,3,3,2,T,Z,S] (any float dtype; cast as needed).
@@ -118,7 +118,8 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
                                         csw=csw)
         pc_s = PackedTMCloverOperatorPC(lat, kappa=kappa, mu=mu, csw=csw,
                                         flavor=flavor, backend=backend,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        t_boundary=t_boundary)
         pc_hp = PackedTMCloverOperatorPC(lat, kappa=kappa, mu=mu, csw=csw,
                                          flavor=flavor, backend="xla")
         u_s = jax.tree_util.tree_map(
@@ -127,7 +128,8 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
             lambda a: a.astype(hp), (u_pk, *clover))
     else:
         pc_s = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
-                                  backend=backend, interpret=interpret)
+                                  backend=backend, interpret=interpret,
+                                  t_boundary=t_boundary)
         pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
                                    backend="xla")
         u_s = u_pk.astype(sloppy_dtype)
@@ -172,8 +174,8 @@ def solve_ndeg_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
                   kappa: float, mubar: float, epsbar: float,
                   tol: float = 1e-10, maxiter: int = 5000,
                   inner_tol: float = 1e-5, sloppy_dtype=jnp.float32,
-                  backend: str = "pallas",
-                  interpret: bool = False) -> SolveResult:
+                  backend: str = "pallas", interpret: bool = False,
+                  t_boundary: int = -1) -> SolveResult:
     """Solve the full NON-DEGENERATE twisted-mass doublet system
     M_nd chi = b (heavy s/c pair; reference
     `dslash_ndeg_twisted_mass.cu` solves via `invertQuda` with
@@ -188,7 +190,8 @@ def solve_ndeg_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     hp = jnp.float64
     pc_s = PackedNdegTMOperatorPC(lat, kappa=kappa, mubar=mubar,
                                   epsbar=epsbar, backend=backend,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  t_boundary=t_boundary)
     pc_hp = PackedNdegTMOperatorPC(lat, kappa=kappa, mubar=mubar,
                                    epsbar=epsbar, backend="xla")
     u_s = u_pk.astype(sloppy_dtype)
@@ -260,13 +263,14 @@ class EigCGSolver:
     def __init__(self, u_pk: jax.Array, lat: Lattice, *, kappa: float,
                  mu: float, flavor: int = +1, nev: int = 8, m: int = 24,
                  max_space: int = 96, backend: str = "pallas",
-                 interpret: bool = False):
+                 interpret: bool = False, t_boundary: int = -1):
         from .solvers.eigcg import EigCGSpace
         self.lat = lat
         self.nev, self.m, self.max_space = nev, m, max_space
         self.pc32 = PackedTMOperatorPC(lat, kappa=kappa, mu=mu,
                                        flavor=flavor, backend=backend,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       t_boundary=t_boundary)
         self.pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu,
                                         flavor=flavor, backend="xla")
         self.u32 = u_pk.astype(jnp.float32)

@@ -118,12 +118,33 @@ def load_device_mg(path: str, fine_level, params):
     return mg
 
 
-def save_eigenpairs(path: str, evals, evecs) -> None:
+def save_eigenpairs(path: str, evals, evecs, layout: str = "") -> None:
+    """layout: "packed" (device packed-real [2ri, 2par, ...]) or "full"
+    (host complex [T,Z,Y,X,4,3]) — recorded so a reload on the other
+    path fails loudly instead of feeding the wrong layout downstream."""
     np.savez_compressed(path, evals=np.asarray(evals),
-                        evecs=np.stack([np.asarray(v) for v in evecs]))
+                        evecs=np.stack([np.asarray(v) for v in evecs]),
+                        layout=np.asarray(layout))
 
 
-def load_eigenpairs(path: str):
+def load_eigenpairs(path: str, expect_layout: str | None = None,
+                    n_expect: int | None = None):
     z = np.load(path)
+    if expect_layout and "layout" in z:
+        got = str(z["layout"])
+        if got and got != expect_layout:
+            raise ValueError(
+                f"{path} holds {got!r}-layout eigenvectors; this run "
+                f"needs {expect_layout!r} (device and host deflation "
+                f"bases are not interchangeable — regenerate on this "
+                f"path or drop eig_infile)")
     evecs = [jnp.asarray(v) for v in z["evecs"]]
+    if n_expect is not None:
+        if len(evecs) < n_expect:
+            raise ValueError(
+                f"{path} holds {len(evecs)} eigenpairs but the config "
+                f"asks n_deflate={n_expect}; regenerate with enough "
+                f"modes or lower n_deflate")
+        evecs = evecs[:n_expect]
+        return z["evals"][:n_expect], evecs
     return z["evals"], evecs
