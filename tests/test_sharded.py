@@ -192,3 +192,81 @@ def test_sharded_apply_production_shape(cpu_devices):
     u_ext = jax.jit(op.extend_gauge)(u_sh)
     out = jax.jit(op.apply)(u_ext, psi_sh)
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5)
+
+
+def test_half_pack_algebra():
+    """Spin-projected halo pack invariant (C6, reference dslash_pack.cu
+    [U]): proj(tab, zero-pad(halfproj(tab, psi))) == proj(tab, psi) for
+    every table — the kernel's in-VMEM projection of the reconstructed
+    slab reproduces the sender's half-spinor EXACTLY (the tables carry
+    the identity in their first two spin columns)."""
+    from tpuqcd.gammas import HALF_PROJ_MINUS, HALF_PROJ_PLUS
+    from tpuqcd.parallel.sharded import _hpad_pk, _hproj_pk
+    rng = np.random.default_rng(3)
+    psi = jnp.asarray(rng.normal(size=(2, 4, 3, 5)).astype(np.float32))
+    for tabs in (HALF_PROJ_MINUS, HALF_PROJ_PLUS):
+        for mu in range(4):
+            h = _hproj_pk(psi, tabs[mu])
+            # reference: complex projection on the unpacked spinor
+            z = np.asarray(psi[0] + 1j * np.asarray(psi[1]))
+            want = np.einsum("sk,kcx->scx", tabs[mu], z)
+            np.testing.assert_allclose(np.asarray(h[0]), want.real,
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(h[1]), want.imag,
+                                       atol=1e-6)
+            # zero-padded reconstruction round-trips bit-exactly
+            h2 = _hproj_pk(_hpad_pk(h), tabs[mu])
+            np.testing.assert_array_equal(np.asarray(h2), np.asarray(h))
+
+
+def _half_problem():
+    lat = Lattice((4, 4, 4, 4))
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
+    psi = random_spinor_dev(jax.random.PRNGKey(1), lat, parities=1)
+    return lat, pack_gauge(u), pack_spinor(psi)
+
+
+def test_half_spinor_halo_pack_fused_exact(cpu_devices):
+    """Fused-kernel path: half-spinor halos must be BIT-IDENTICAL to
+    the full-spinor exchange in f32 (see test_half_pack_algebra)."""
+    lat, u_pk, psi_pk = _half_problem()
+    lmesh = LatticeMesh.make(lat, 2, 2, devices=cpu_devices[:4])
+    kw = dict(kappa=KAPPA, mu=MU, interpret=True, block_z=2)
+    u_sh = lmesh.shard_gauge(u_pk)
+    psi_sh = lmesh.shard_spinor(psi_pk)
+    full = ShardedTMOperatorPC(lat, lmesh, halo_half=False, **kw)
+    half = ShardedTMOperatorPC(lat, lmesh, halo_half=True, **kw)
+    u_ext = full.extend_gauge(u_sh)
+    a = full.apply(u_ext, psi_sh)
+    b = half.apply(u_ext, psi_sh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_half_spinor_halo_pack_dagger_and_overlap(cpu_devices):
+    """dagger (table swap) on the fused path; overlap path agrees to
+    rounding (projection and SU(3) multiply commute, float order
+    swaps)."""
+    lat, u_pk, psi_pk = _half_problem()
+    lmesh = LatticeMesh.make(lat, 2, 2, devices=cpu_devices[:4])
+    kw = dict(kappa=KAPPA, mu=MU, interpret=True, block_z=2)
+    u_sh = lmesh.shard_gauge(u_pk)
+    psi_sh = lmesh.shard_spinor(psi_pk)
+    full = ShardedTMOperatorPC(lat, lmesh, halo_half=False, **kw)
+    half = ShardedTMOperatorPC(lat, lmesh, halo_half=True, **kw)
+    u_ext = full.extend_gauge(u_sh)
+    a = full.apply_dagger(u_ext, psi_sh)
+    b = half.apply_dagger(u_ext, psi_sh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fo = ShardedTMOperatorPC(lat, lmesh, halo_half=False, overlap=True,
+                             backend="xla", kappa=KAPPA, mu=MU)
+    ho = ShardedTMOperatorPC(lat, lmesh, halo_half=True, overlap=True,
+                             backend="xla", kappa=KAPPA, mu=MU)
+    for dag in (False, True):
+        a = fo._apply(u_ext, psi_sh, dagger=dag)
+        b = ho._apply(u_ext, psi_sh, dagger=dag)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6,
+                                   err_msg=f"overlap dagger={dag}")

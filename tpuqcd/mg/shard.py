@@ -125,11 +125,13 @@ class ShardedFineLevel:
         de = dslash_overlap(u_ext_loc, vo, 1, self.lat, self.lmesh,
                             dagger, block_z=self.block_z,
                             interpret=self.interpret,
-                            backend=self.backend, dirs=dirs)
+                            backend=self.backend, dirs=dirs,
+                            halo_half=True)
         do = dslash_overlap(u_ext_loc, ve, 0, self.lat, self.lmesh,
                             dagger, block_z=self.block_z,
                             interpret=self.interpret,
-                            backend=self.backend, dirs=dirs)
+                            backend=self.backend, dirs=dirs,
+                            halo_half=True)
         return jnp.stack([de, do], axis=1)
 
     def _site(self, cl_l, v_l):

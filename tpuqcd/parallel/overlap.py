@@ -98,7 +98,8 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
                    backend: str = "pallas",
                    dirs: tuple | None = None,
                    kernel_kwargs: dict | None = None,
-                   epi_full=None, epi_corr=None) -> jax.Array:
+                   epi_full=None, epi_corr=None,
+                   halo_half: bool = False) -> jax.Array:
     """Sharded hopping term D_{q<-p} with interior/exterior split.
 
     u_ext: per-shard packed gauge WITH the t/z halo slabs appended
@@ -132,15 +133,31 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
 
     # 1. halo sends first: nothing below depends on them until the
     # corrections, so the collective-permute can ride ICI while the
-    # interior kernel occupies the core
+    # interior kernel occupies the core.  halo_half packs each face
+    # with its leg's spin projection before the send (12 reals/site —
+    # reference dslash_pack.cu [U], C6): every repair below applies
+    # P = recon @ proj to the slab, and proj(zero-padded(proj psi))
+    # == proj(psi) exactly (gammas.py tables have identity first-two
+    # spin columns), so the repairs are unchanged.
+    if halo_half:
+        from .sharded import _half_tables, _hpad_pk, _hproj_pk
+        hpm_t, hpp_t = _half_tables(dagger)
+
+        def _send(slab, axis_name, shift, tab):
+            return _hpad_pk(_pperm(_hproj_pk(slab, tab), axis_name,
+                                   shift))
+    else:
+        def _send(slab, axis_name, shift, tab):
+            return _pperm(slab, axis_name, shift)
+        hpm_t = hpp_t = [None] * 4
     if tn > 1 and has(3, -1):
-        psi_t_lo = _pperm(psi_loc[:, :, :, -1:], "t", +1)   # psi(t=-1)
+        psi_t_lo = _send(psi_loc[:, :, :, -1:], "t", +1, hpp_t[3])
     if tn > 1 and has(3, +1):
-        psi_t_hi = _pperm(psi_loc[:, :, :, :1], "t", -1)    # psi(t=Tl)
+        psi_t_hi = _send(psi_loc[:, :, :, :1], "t", -1, hpm_t[3])
     if zn > 1 and has(2, -1):
-        psi_z_lo = _pperm(psi_loc[:, :, :, :, -1:], "z", +1)
+        psi_z_lo = _send(psi_loc[:, :, :, :, -1:], "z", +1, hpp_t[2])
     if zn > 1 and has(2, +1):
-        psi_z_hi = _pperm(psi_loc[:, :, :, :, :1], "z", -1)
+        psi_z_hi = _send(psi_loc[:, :, :, :, :1], "z", -1, hpm_t[2])
 
     # 2. interior: full local volume with LOCAL-periodic wraps (the
     # boundary slices are wrong and repaired below; recompute cost is

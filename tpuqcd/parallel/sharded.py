@@ -56,6 +56,91 @@ def _exchange_z(psi_loc, zn, Zb):
     return jnp.concatenate([psi_loc, lo, hi], axis=4)
 
 
+# --- spin-projected (half-spinor) halo pack --------------------------------
+# The reference packs ghost faces WITH the spin projection
+# (`dslash_pack.cu` PackGhost kernels [U], SURVEY.md C6): only
+# (1 +- gamma_mu) psi of a face enters the mu-hop, the projector is rank
+# 2, so 12 reals/site cross the wire instead of 24.  Every HALF_PROJ
+# table (gammas.py) carries the identity in its first two spin columns,
+# so the receiver reconstructs psi' = (h0, h1, 0, 0) and the kernel's
+# own in-VMEM projection gives proj(psi') == h EXACTLY — no kernel
+# change, bit-identical f32 hops, half the ICI traffic.  The z halo
+# additionally shrinks from a Zb-row slab to the ONE row the kernel
+# actually consumes (row 0 of the z-hi slab / row Zb-1 of the z-lo
+# slab), a further Zb x saving.
+
+
+def _hproj_pk(psi, tab):
+    """Apply a 2x4 half-projector (entries 0, +-1, +-i — gammas.py
+    HALF_PROJ_*) to a packed-real spinor [2(ri), 4, 3, ...] ->
+    [2(ri), 2, 3, ...].  Pure adds/sign-flips, no complex multiplies."""
+    re, im = psi[0], psi[1]
+    rows_r, rows_i = [], []
+    for s in range(2):
+        r = i_ = None
+        for k in range(4):
+            c = complex(tab[s, k])
+            if c == 0:
+                continue
+            if c.imag == 0:  # +-1
+                tr = re[k] if c.real > 0 else -re[k]
+                ti = im[k] if c.real > 0 else -im[k]
+            else:            # +-i: (i b z).re = -b z.im, .im = b z.re
+                tr = -im[k] if c.imag > 0 else im[k]
+                ti = re[k] if c.imag > 0 else -re[k]
+            r = tr if r is None else r + tr
+            i_ = ti if i_ is None else i_ + ti
+        rows_r.append(r)
+        rows_i.append(i_)
+    return jnp.stack([jnp.stack(rows_r), jnp.stack(rows_i)])
+
+
+def _hpad_pk(h):
+    """[2(ri), 2, 3, ...] -> [2(ri), 4, 3, ...], zero spins 2, 3."""
+    return jnp.concatenate([h, jnp.zeros_like(h)], axis=1)
+
+
+def _half_tables(dagger):
+    from ..gammas import HALF_PROJ_MINUS, HALF_PROJ_PLUS
+    if dagger:  # the kernel swaps hpm <-> hpp under dagger
+        return HALF_PROJ_PLUS, HALF_PROJ_MINUS
+    return HALF_PROJ_MINUS, HALF_PROJ_PLUS
+
+
+def _exchange_t_half(psi_loc, tn, dagger):
+    """Spin-projected t halo: slab Tl (t-1 face, consumed with hpp[3]) and
+    slab Tl+1 (t+1 face, hpm[3]) travel as 2-spin half-spinors."""
+    hpm, hpp = _half_tables(dagger)
+    lo_h = _hproj_pk(psi_loc[:, :, :, -1:], hpp[3])
+    hi_h = _hproj_pk(psi_loc[:, :, :, :1], hpm[3])
+    if tn > 1:
+        lo_h = _pperm(lo_h, "t", +1)
+        hi_h = _pperm(hi_h, "t", -1)
+    return jnp.concatenate(
+        [psi_loc, _hpad_pk(lo_h), _hpad_pk(hi_h)], axis=3)
+
+
+def _exchange_z_half(psi_ext, zn, Zb, dagger):
+    """Spin-projected z halo: ship only the single consumed row per side
+    (kernel reads z-lo slab row Zb-1 and z-hi slab row 0), zero-fill the
+    rest of the Zb-row block."""
+    hpm, hpp = _half_tables(dagger)
+    lo_h = _hproj_pk(psi_ext[:, :, :, :, -1:], hpp[2])
+    hi_h = _hproj_pk(psi_ext[:, :, :, :, :1], hpm[2])
+    if zn > 1:
+        lo_h = _pperm(lo_h, "z", +1)
+        hi_h = _pperm(hi_h, "z", -1)
+    lo_row, hi_row = _hpad_pk(lo_h), _hpad_pk(hi_h)
+    if Zb > 1:
+        zfill = jnp.zeros(lo_row.shape[:4] + (Zb - 1,) + lo_row.shape[5:],
+                          lo_row.dtype)
+        lo_slab = jnp.concatenate([zfill, lo_row], axis=4)
+        hi_slab = jnp.concatenate([hi_row, zfill], axis=4)
+    else:
+        lo_slab, hi_slab = lo_row, hi_row
+    return jnp.concatenate([psi_ext, lo_slab, hi_slab], axis=4)
+
+
 def _exchange_gauge(u_loc, tn, zn, Zb):
     """u [4,2,3,3,2,Tl,Z,S] -> extended along T (+1 slice) and Z (+Zb)."""
     if tn == 1:
@@ -97,6 +182,10 @@ class ShardedTMOperatorPC:
     #: dslash_policy overlap engine, C7).  Epilogues become separate
     #: elementwise passes in this mode.
     overlap: bool = False
+    #: spin-projected halo pack (reference dslash_pack.cu [U], C6):
+    #: faces travel as 12-real half-spinors; exact in f32 (see the
+    #: _exchange_*_half docstrings).  Fused-kernel path only.
+    halo_half: bool = True
 
     def _local_lat_dims(self):
         return self.lmesh.local_dims
@@ -148,9 +237,14 @@ class ShardedTMOperatorPC:
                                   interpret=self.interpret,
                                   backend=self.backend,
                                   kernel_kwargs=kk, epi_full=epi_full,
-                                  epi_corr=epi_corr)
-        psi_ext = _exchange_t(psi_loc, tn)
-        psi_ext = _exchange_z(psi_ext, zn, Zb)
+                                  epi_corr=epi_corr,
+                                  halo_half=self.halo_half)
+        if self.halo_half:
+            psi_ext = _exchange_t_half(psi_loc, tn, dagger)
+            psi_ext = _exchange_z_half(psi_ext, zn, Zb, dagger)
+        else:
+            psi_ext = _exchange_t(psi_loc, tn)
+            psi_ext = _exchange_z(psi_ext, zn, Zb)
         # compressed links (reconstruct-12/-8): the rebuilt-row boundary
         # phase is a GLOBAL-t condition, so pass this shard's T offset
         toff = (jax.lax.axis_index("t") * Tl
@@ -255,12 +349,14 @@ class ShardedTMCloverOperatorPC:
     block_z: int | None = None
     interpret: bool = False
     overlap: bool = False
+    halo_half: bool = True
 
     def _tm(self) -> ShardedTMOperatorPC:
         """Hop-engine twin (shares _dslash_local/_zb plumbing)."""
         return ShardedTMOperatorPC(
             self.lat, self.lmesh, self.kappa, self.mu, self.flavor,
-            self.backend, self.block_z, self.interpret, self.overlap)
+            self.backend, self.block_z, self.interpret, self.overlap,
+            self.halo_half)
 
     def extend_fields(self, u_pk, cl_pk, clinv_p, clinv_m):
         """Shard the clover arrays and exchange the gauge halo once."""
@@ -333,10 +429,14 @@ class ShardedTMCloverOperatorPC:
                                   interpret=self.interpret,
                                   backend=self.backend,
                                   kernel_kwargs=kk, epi_full=epi_full,
-                                  epi_corr=epi_corr)
-        from .sharded import _exchange_t, _exchange_z
-        psi_ext = _exchange_t(psi_l, m.nt)
-        psi_ext = _exchange_z(psi_ext, m.nz, Zb)
+                                  epi_corr=epi_corr,
+                                  halo_half=self.halo_half)
+        if self.halo_half:
+            psi_ext = _exchange_t_half(psi_l, m.nt, dagger)
+            psi_ext = _exchange_z_half(psi_ext, m.nz, Zb, dagger)
+        else:
+            psi_ext = _exchange_t(psi_l, m.nt)
+            psi_ext = _exchange_z(psi_ext, m.nz, Zb)
         return dslash_eo_pallas(
             u_l, psi_ext, parity, self.lat, dagger=dagger,
             epilogue=epilogue, kappa=self.kappa, mu=self.mu, flavor=f,
