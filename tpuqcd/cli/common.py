@@ -242,19 +242,20 @@ def make_solver(cfg, lat, u_pk, u_full):
     rhs_batch = max(1, int(getattr(cfg.solver, "rhs_batch", 1)))
 
     # multi-chip domain decomposition (config 5; the reference's
-    # --gridsize [U] SURVEY.md §6.8): a (t, z) LatticeMesh routes every
-    # solve through the sharded operators / sharded MG fine level, and
-    # all device fields carry the mesh sharding
+    # --gridsize [U] SURVEY.md §6.8): a (t, z, y) LatticeMesh routes
+    # every solve through the sharded operators / sharded MG fine level,
+    # and all device fields carry the mesh sharding
     lmesh = None
     mesh_cfg = getattr(cfg, "mesh", None)
-    if mesh_cfg is not None and mesh_cfg.nt * mesh_cfg.nz > 1:
+    mesh_ny = int(getattr(mesh_cfg, "ny", 1) or 1) if mesh_cfg else 1
+    if mesh_cfg is not None and mesh_cfg.nt * mesh_cfg.nz * mesh_ny > 1:
         from ..parallel.mesh import LatticeMesh
         # devices of the ACCELERATOR platform (with --device cpu this is
         # the forced-multi-device CPU backend, the virtual-mesh test rig)
-        lmesh = LatticeMesh.make(lat, mesh_cfg.nt, mesh_cfg.nz,
+        lmesh = LatticeMesh.make(lat, mesh_cfg.nt, mesh_cfg.nz, mesh_ny,
                                  devices=jax.devices(accel().platform))
-        log.info("lattice mesh: %d x %d devices over (T, Z)",
-                 mesh_cfg.nt, mesh_cfg.nz)
+        log.info("lattice mesh: %d x %d x %d devices over (T, Z, Y)",
+                 mesh_cfg.nt, mesh_cfg.nz, mesh_ny)
         if cfg.solver.solver == "eigcg":
             raise NotImplementedError(
                 "eigcg is single-chip; with mesh use mg.enabled or "
@@ -270,6 +271,7 @@ def make_solver(cfg, lat, u_pk, u_full):
         spec = [None] * arr.ndim
         spec[arr.ndim - 3] = "t"
         spec[arr.ndim - 2] = "z"
+        spec[arr.ndim - 1] = "y"    # packed S is y-major
         return global_put(arr, NamedSharding(lmesh.mesh, P(*spec)))
 
     def _chunked_batch(solve_chunk_fn, b_pks, flavor):
@@ -442,10 +444,12 @@ def make_solver(cfg, lat, u_pk, u_full):
             """comm_policy knob -> overlap bool (tune on real TPUs)."""
             if cfg.solver.backend == "xla":
                 return True      # xla interior IS the overlap form
+            if lmesh.ny > 1:
+                return True      # no fused halo_y mode (validated too)
             pol = cfg.solver.comm_policy
             if pol in ("fused", "overlap"):
                 return pol == "overlap"
-            n_dev = lmesh.nt * lmesh.nz
+            n_dev = lmesh.nt * lmesh.nz * lmesh.ny
             on_tpu = jax.devices()[0].platform not in ("cpu",)
             if n_dev == 1 or not on_tpu:
                 # single shard has no comms to hide; off-hardware
@@ -463,7 +467,7 @@ def make_solver(cfg, lat, u_pk, u_full):
             log.info("comm_policy auto -> %s", winner)
             return winner == "overlap"
 
-        overlap_s = cfg.solver.backend == "xla"
+        overlap_s = cfg.solver.backend == "xla" or lmesh.ny > 1
         ops = {}
         if csw != 0.0:
             clover = make_clover_fields(u_pk, lat, kappa=cfg.action.kappa,

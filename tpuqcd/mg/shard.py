@@ -79,6 +79,8 @@ class ShardedFineLevel:
         one-row Z slab for the overlap engine's backward-leg z repairs
         when the mesh shards Z).  clover_pk (packed A blocks, both
         parities) + csw give the twisted-clover fine level."""
+        assert lmesh.ny == 1, \
+            "MG decomposes (t, z) only: aggregates must stay shard-local"
         u_sh = lmesh.shard_gauge(u_pk)
 
         def fn(u_loc):

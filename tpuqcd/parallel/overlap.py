@@ -11,7 +11,9 @@ are then repaired with thin slab corrections once the halos arrive:
     bwd leg, first slice:  += P^+ (U_lo^dag psi_lo
                                    - U[p][last]^dag psi[last])
 
-(t and z directions only — the mesh shards (T, Z); x/y stay on-chip.)
+(t, z AND y directions — the mesh shards (T, Z, Y); y-rows are Xh-wide
+slices of the y-major packed S axis, so their repairs are ordinary
+S-slice corrections.  X stays on-chip: it is the lane axis.)
 The corrections are exact by linearity of the hop term, cost O(surface)
 elementwise work, and depend only on the exchanged slabs — the data-flow
 graph the scheduler needs for overlap, without hand-written async DMA.
@@ -125,7 +127,11 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
     """
     p, q = parity, 1 - parity
     tn, zn = lmesh.nt, lmesh.nz
+    yn = getattr(lmesh, "ny", 1)
     Tl, Zl = lmesh.local_dims
+    Xh = lat.Lx // 2
+    Yl = lat.Ly // yn
+    S_loc = Yl * Xh          # local packed-S extent (S is y-major)
 
     def has(mu, sign):
         """dirs filter (single-leg probing, as in the kernel)."""
@@ -158,21 +164,30 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
         psi_z_lo = _send(psi_loc[:, :, :, :, -1:], "z", +1, hpp_t[2])
     if zn > 1 and has(2, +1):
         psi_z_hi = _send(psi_loc[:, :, :, :, :1], "z", -1, hpm_t[2])
+    # y faces are Xh-wide slices of the y-major packed S axis
+    if yn > 1 and has(1, -1):
+        psi_y_lo = _send(psi_loc[..., -Xh:], "y", +1, hpp_t[1])
+    if yn > 1 and has(1, +1):
+        psi_y_hi = _send(psi_loc[..., :Xh], "y", -1, hpm_t[1])
 
     # 2. interior: full local volume with LOCAL-periodic wraps (the
     # boundary slices are wrong and repaired below; recompute cost is
     # 2/Tl + 2/Zl of the volume, the classic interior/exterior tradeoff
     # flipped into pure data-parallel form)
-    u_loc = u_ext[..., :Tl, :Zl, :]
+    u_loc = u_ext[..., :Tl, :Zl, :S_loc]
     if backend == "pallas":
         from ..ops.dslash_pallas import dslash_eo_pallas
-        out = dslash_eo_pallas(u_loc, psi_loc, p, lat, dagger=dagger,
+        # when Y is sharded the kernel's y-roll stride and eo masks come
+        # from a LOCAL-Y lattice (even y offsets keep the checkerboard
+        # shard-identical; X wraps are global since X is never sharded)
+        lat_k = Lattice((lat.Lx, Yl, lat.Lz, lat.Lt)) if yn > 1 else lat
+        out = dslash_eo_pallas(u_loc, psi_loc, p, lat_k, dagger=dagger,
                                block_z=block_z, interpret=interpret,
                                local_dims=(Tl, Zl), dirs=dirs,
                                **(kernel_kwargs or {}))
     else:
         from ..ops.dslash_xla import dslash_eo_dev_ri
-        lat_loc = Lattice((lat.Lx, lat.Ly, Zl, Tl))
+        lat_loc = Lattice((lat.Lx, Yl, Zl, Tl))
         out = dslash_eo_dev_ri(u_loc, psi_loc, p, lat_loc, dagger=dagger,
                                dirs=dirs)
         if epi_full is not None:
@@ -196,7 +211,7 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
                 _leg(fwd3, u_q_last, d_hi, dagger_u=False), "t_last")
         if has(3, -1):
             # backward leg at result t = 0: local wrap used local data
-            u_p_hal = u_ext[3, p, :, :, :, Tl:Tl + 1, :Zl, :]  # U_t(t=-1)
+            u_p_hal = u_ext[3, p, :, :, :, Tl:Tl + 1, :Zl, :S_loc]
             u_p_last = u_loc[3, p, :, :, :, -1:, :, :]
             first = first + epi_corr(
                 _leg(bwd3, u_p_hal, psi_t_lo, dagger_u=True)
@@ -216,7 +231,7 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
             last = last + epi_corr(
                 _leg(fwd2, u_q_last, d_hi, dagger_u=False), "z_last")
         if has(2, -1):
-            u_p_hal = u_ext[2, p, :, :, :, :Tl, -1:, :]     # U_z(z=-1)
+            u_p_hal = u_ext[2, p, :, :, :, :Tl, -1:, :S_loc]  # U_z(z=-1)
             u_p_last = u_loc[2, p, :, :, :, :, -1:, :]
             first = first + epi_corr(
                 _leg(bwd2, u_p_hal, psi_z_lo, dagger_u=True)
@@ -224,5 +239,31 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
                        dagger_u=True), "z_first")
         out = jnp.concatenate([first, out[:, :, :, :, 1:-1], last],
                               axis=4)
+
+    # 5. y-direction repairs (mu = 1): a y-row is an Xh-wide slice of
+    # the y-major packed S axis; the interior's roll_s(±Xh) wrapped
+    # locally exactly like the t/z rolls
+    if yn > 1 and (has(1, +1) or has(1, -1)):
+        fwd1 = _nz((PROJ_PLUS if dagger else PROJ_MINUS)[1])
+        bwd1 = _nz((PROJ_MINUS if dagger else PROJ_PLUS)[1])
+        first = out[..., :Xh]
+        last = out[..., -Xh:]
+        if has(1, +1):
+            # forward leg at result y = Yl-1: local wrap used row y = 0
+            u_q_last = u_loc[1, q, ..., -Xh:]
+            d_hi = psi_y_hi - psi_loc[..., :Xh]
+            last = last + epi_corr(
+                _leg(fwd1, u_q_last, d_hi, dagger_u=False), "y_last")
+        if has(1, -1):
+            # backward leg at result y = 0: needs U_y(y=-1) (the gauge
+            # y-halo row appended on S by _exchange_gauge) and the
+            # neighbor's last y-row
+            u_p_hal = u_ext[1, p, :, :, :, :Tl, :Zl, S_loc:]
+            u_p_last = u_loc[1, p, ..., -Xh:]
+            first = first + epi_corr(
+                _leg(bwd1, u_p_hal, psi_y_lo, dagger_u=True)
+                - _leg(bwd1, u_p_last, psi_loc[..., -Xh:],
+                       dagger_u=True), "y_first")
+        out = jnp.concatenate([first, out[..., Xh:-Xh], last], axis=-1)
 
     return out

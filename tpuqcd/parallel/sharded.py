@@ -141,8 +141,10 @@ def _exchange_z_half(psi_ext, zn, Zb, dagger):
     return jnp.concatenate([psi_ext, lo_slab, hi_slab], axis=4)
 
 
-def _exchange_gauge(u_loc, tn, zn, Zb):
-    """u [4,2,3,3,2,Tl,Z,S] -> extended along T (+1 slice) and Z (+Zb)."""
+def _exchange_gauge(u_loc, tn, zn, Zb, yn=1, Xh=None):
+    """u [4,2,3,3,2,Tl,Z,S] -> extended along T (+1 slice), Z (+Zb) and,
+    when the mesh shards Y (yn > 1, overlap engine only), S (+Xh: the
+    U_y(y=-1) row feeding the backward-leg y repairs)."""
     if tn == 1:
         t_lo = u_loc[..., -1:, :, :]
     else:
@@ -154,6 +156,9 @@ def _exchange_gauge(u_loc, tn, zn, Zb):
         else:
             z_lo = _pperm(u_ext[..., -Zb:, :], "z", +1)
         u_ext = jnp.concatenate([u_ext, z_lo], axis=6)
+    if yn > 1:
+        y_lo = _pperm(u_ext[..., -Xh:], "y", +1)
+        u_ext = jnp.concatenate([u_ext, y_lo], axis=7)
     return u_ext
 
 
@@ -184,7 +189,7 @@ class ShardedTMOperatorPC:
     overlap: bool = False
     #: spin-projected halo pack (reference dslash_pack.cu [U], C6):
     #: faces travel as 12-real half-spinors; exact in f32 (see the
-    #: _exchange_*_half docstrings).  Fused-kernel path only.
+    #: _exchange_*_half docstrings).  Both comm policies honor it.
     halo_half: bool = True
 
     def _local_lat_dims(self):
@@ -195,7 +200,7 @@ class ShardedTMOperatorPC:
         if self.block_z is not None:
             return self.block_z
         Tl, Zl = self.lmesh.local_dims
-        S = self.lat.Ly * self.lat.Lx // 2
+        S = self.lmesh.local_y * self.lat.Lx // 2
         zb = _auto_block_z(Zl, S, 4)
         return zb
 
@@ -207,6 +212,8 @@ class ShardedTMOperatorPC:
         tn, zn = self.lmesh.nt, self.lmesh.nz
         Tl, Zl = self.lmesh.local_dims
         Zb = self._zb()
+        assert self.overlap or self.lmesh.ny == 1, \
+            "y-sharded meshes need overlap=True (no fused halo_y mode)"
         if self.overlap:
             assert u_ext.shape[2] == 3, \
                 "overlap mode needs full links (slab repairs are 3x3)"
@@ -270,7 +277,8 @@ class ShardedTMOperatorPC:
         Zb = self._zb()
 
         def fn(u_loc):
-            return _exchange_gauge(u_loc, m.nt, m.nz, Zb)
+            return _exchange_gauge(u_loc, m.nt, m.nz, Zb, m.ny,
+                                   self.lat.Lx // 2)
 
         return jax.shard_map(
             fn, mesh=m.mesh, in_specs=(m.gauge_spec(),),
@@ -362,8 +370,8 @@ class ShardedTMCloverOperatorPC:
         """Shard the clover arrays and exchange the gauge halo once."""
         m = self.lmesh
         u_ext = self._tm().extend_gauge(m.shard_gauge(u_pk))
-        cl_spec = P(None, None, None, None, None, "t", "z", None)
-        ci_spec = P(None, None, None, None, "t", "z", None)
+        cl_spec = P(None, None, None, None, None, "t", "z", "y")
+        ci_spec = P(None, None, None, None, "t", "z", "y")
         put = jax.device_put
         return (u_ext,
                 put(cl_pk, jax.NamedSharding(m.mesh, cl_spec)),
@@ -376,8 +384,8 @@ class ShardedTMCloverOperatorPC:
     #: specs for the (cl_pk, clinv) operands
     @property
     def _cl_specs(self):
-        return [P(None, None, None, None, None, "t", "z", None),
-                P(None, None, None, None, "t", "z", None)]
+        return [P(None, None, None, None, None, "t", "z", "y"),
+                P(None, None, None, None, "t", "z", "y")]
 
     def _dslash_clover_local(self, tm, u_l, psi_l, parity, dagger,
                              epilogue, f, cl_l=None, psi0_l=None):
@@ -388,6 +396,8 @@ class ShardedTMCloverOperatorPC:
         m = self.lmesh
         Tl, Zl = m.local_dims
         Zb = tm._zb()
+        assert self.overlap or m.ny == 1, \
+            "y-sharded meshes need overlap=True (no fused halo_y mode)"
         if self.overlap:
             from .overlap import dslash_overlap
             # fused clover epilogues across the split (overlap.py module
@@ -397,13 +407,16 @@ class ShardedTMCloverOperatorPC:
             kk = dict(epilogue=epilogue, kappa=self.kappa, mu=self.mu,
                       flavor=f, psi0_pk=psi0_l, clover_pk=cl_l)
             k2 = self.kappa * self.kappa
+            Xh = self.lat.Lx // 2
 
             def _cl_region(r):
-                # cl_l [..., Tl, Zl, S]
+                # cl_l [..., Tl, Zl, S]; y rows are Xh-wide S slices
                 return {"t_first": cl_l[..., :1, :, :],
                         "t_last": cl_l[..., -1:, :, :],
                         "z_first": cl_l[..., :, :1, :],
-                        "z_last": cl_l[..., :, -1:, :]}[r]
+                        "z_last": cl_l[..., :, -1:, :],
+                        "y_first": cl_l[..., :Xh],
+                        "y_last": cl_l[..., -Xh:]}[r]
 
             if epilogue == "clover_inv":
                 epi_full = lambda d: clover_apply_pk(  # noqa: E731

@@ -145,9 +145,13 @@ class PhysicsParams:
 @dataclass(frozen=True)
 class MeshParams:
     """Multi-chip domain decomposition (the reference's --gridsize
-    [U] SURVEY.md §6.8): lattice T (and Z) axes over the device mesh."""
+    [U] SURVEY.md §6.8): lattice T, Z and Y axes over the device mesh
+    (X stays on-chip — it is the TPU lane axis).  ny > 1 requires the
+    interior/exterior overlap comm policy and no MG (aggregates must
+    stay shard-local)."""
     nt: int = 1
     nz: int = 1
+    ny: int = 1
 
 
 @dataclass(frozen=True)
@@ -220,7 +224,8 @@ def validate_config(cfg: "RunConfig") -> None:
             "gauge.config_files / gauge.random_seeds for ensembles")
     if cfg.action.mu_list:
         if (cfg.action.csw != 0.0 or cfg.action.epsbar != 0.0
-                or cfg.mg.enabled or cfg.mesh.nt * cfg.mesh.nz > 1
+                or cfg.mg.enabled
+                or cfg.mesh.nt * cfg.mesh.nz * cfg.mesh.ny > 1
                 or cfg.solver.solver != "cg"):
             err("action.mu_list (multishift mass sweep) supports the "
                 "plain twisted-mass operator with solver: cg on a "
@@ -301,16 +306,26 @@ def validate_config(cfg: "RunConfig") -> None:
         err(f"physics.dilute_t must be in 1..Lt = {lt}, "
             f"got {cfg.physics.dilute_t}")
 
-    nt, nz = cfg.mesh.nt, cfg.mesh.nz
-    if nt < 1 or nz < 1:
-        err(f"mesh.nt/nz must be >= 1, got ({nt}, {nz})")
-    if nt > 1 or nz > 1:
+    nt, nz, ny = cfg.mesh.nt, cfg.mesh.nz, cfg.mesh.ny
+    if nt < 1 or nz < 1 or ny < 1:
+        err(f"mesh.nt/nz/ny must be >= 1, got ({nt}, {nz}, {ny})")
+    if nt > 1 or nz > 1 or ny > 1:
         if lt % nt or (lt // nt) % 2:
             err(f"mesh.nt = {nt} must divide Lt = {lt} with an even "
                 f"local extent (eo parity masks are per-shard)")
         if lz % nz or (nz > 1 and (lz // nz) % 2):
             err(f"mesh.nz = {nz} must divide Lz = {lz} with an even "
                 f"local extent")
+        if ly % ny or (ny > 1 and (ly // ny) % 2):
+            err(f"mesh.ny = {ny} must divide Ly = {ly} with an even "
+                f"local extent")
+        if ny > 1 and cfg.solver.comm_policy == "fused":
+            err("mesh.ny > 1 needs the interior/exterior overlap "
+                "engine: set solver.comm_policy to overlap or auto "
+                "(there is no fused halo_y kernel mode)")
+        if ny > 1 and cfg.mg.enabled:
+            err("sharded MG decomposes (t, z) only — mesh.ny must be 1 "
+                "with mg.enabled (aggregates must stay shard-local)")
         if cfg.mg.enabled:
             bt = cfg.mg.block[0][0]
             bz = cfg.mg.block[0][1]

@@ -125,8 +125,8 @@ def tune_comm_policy(lat: Lattice, lmesh, apply_fns: dict,
     O(surface) repair passes, so thin local slabs favor the fused form.
     """
     dev = jax.devices()[0]
-    key = (f"comm_policy/{lat.dims}/{lmesh.nt}x{lmesh.nz}/{tag}/"
-           f"{dev.device_kind}")
+    key = (f"comm_policy/{lat.dims}/{lmesh.nt}x{lmesh.nz}"
+           f"x{getattr(lmesh, 'ny', 1)}/{tag}/{dev.device_kind}")
     cache = _load()
     if key in cache and not force:
         w = cache[key]["policy"]
