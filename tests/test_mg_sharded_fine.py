@@ -111,3 +111,41 @@ def test_sharded_clover_fine_mg_t4z2():
     x, rel, total = mg1.solve_certified(b, tol=1e-8, inner_tol=1e-5,
                                         maxiter=64)
     assert rel < 1e-8, rel
+
+
+@pytest.mark.slow
+def test_sharded_fine_mg_y_mesh():
+    """MG on a 3-axis (t=2, z=1, y=2) mesh: the y-sharded fine level
+    (overlap-engine y repairs; aggregates shard-local since the first
+    block's by divides the local Y) reproduces the single-device
+    hierarchy — Galerkin links and a certified 1e-8 solve."""
+    from tests.conftest import CPUS as cpu_devices
+    u_dev = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(3), LAT), LAT)
+    u_pk = pack_gauge(u_dev)
+    lmesh = LatticeMesh.make(LAT, 2, 1, 2, devices=cpu_devices)
+    fine_sh = ShardedFineLevel.build(LAT, lmesh, u_pk, kappa=KAPPA,
+                                     mu=MU, backend="xla")
+    fine_0 = DeviceFineLevel(LAT, u_pk, kappa=KAPPA, mu=MU, backend="xla")
+    v = fine_0.random_field(jax.random.PRNGKey(1))
+    want = jax.jit(fine_0.apply)(v)
+    v_sh = jax.device_put(v, jax.NamedSharding(
+        lmesh.mesh, jax.P(None, *lmesh.spinor_spec())))
+    got = jax.jit(fine_sh.apply)(v_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5)
+    # y hops specifically (the probing path exercises single legs)
+    for mu_, sign in ((1, +1), (1, -1)):
+        want = jax.jit(lambda x: fine_0.apply_hop(x, mu_, sign))(v)
+        got = jax.jit(lambda x: fine_sh.apply_hop(x, mu_, sign))(v_sh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, err_msg=f"hop {mu_} {sign}")
+    mg0 = DeviceMG(fine_0, PARAMS)
+    mg1 = DeviceMG(fine_sh, PARAMS)
+    np.testing.assert_allclose(np.asarray(mg1.levels[1].links),
+                               np.asarray(mg0.levels[1].links),
+                               rtol=5e-4, atol=5e-5)
+    b = fine_sh.random_field(jax.random.PRNGKey(11))
+    x, rel, total = mg1.solve_certified(b, tol=1e-8, inner_tol=1e-5,
+                                        maxiter=64)
+    assert rel < 1e-8, rel

@@ -44,9 +44,13 @@ def test_mesh_y_config_validation(tmp_path):
         load("mesh: {ny: 4}\n")                     # local Y = 1, odd
     with pytest.raises(ConfigError, match="overlap"):
         load("mesh: {ny: 2}\nsolver: {comm_policy: fused}\n")
-    with pytest.raises(ConfigError, match="mesh.ny must be 1"):
+    # MG on a y mesh: the first block's by must divide the local Y
+    cfg = load("mesh: {ny: 2}\n"
+               "mg: {enabled: true, n_vec: [8], block: [[2, 2, 2, 4]]}\n")
+    assert cfg.mg.enabled and cfg.mesh.ny == 2
+    with pytest.raises(ConfigError, match="divisible by the y-block"):
         load("mesh: {ny: 2}\n"
-             "mg: {enabled: true, n_vec: [8], block: [[2, 2, 2, 4]]}\n")
+             "mg: {enabled: true, n_vec: [8], block: [[2, 2, 4, 4]]}\n")
 
 
 def test_fused_path_rejects_y_mesh(cpu_devices):

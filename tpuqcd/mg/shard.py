@@ -45,7 +45,8 @@ class ShardedFineLevel:
     shard_map (the production multi-chip fine level): the hop term goes
     through the interior/exterior overlap engine (parallel/overlap.py),
     so each chip runs the fused Pallas kernel on its local volume while
-    the t-halos ride ICI.  Drop-in fine level for mg/dsolve.DeviceMG —
+    the (t, z, y) halos ride ICI.  Drop-in fine level for
+    mg/dsolve.DeviceMG —
     setup (null vectors, probing) and the V-cycle work unchanged; the
     coarse levels stay GSPMD/replicated (mg/shard.py header).
 
@@ -55,7 +56,7 @@ class ShardedFineLevel:
     static per configuration, exchanged once here.
     """
     lat: Lattice
-    lmesh: object                 # parallel.mesh.LatticeMesh (t, z)
+    lmesh: object                 # parallel.mesh.LatticeMesh (t, z, y)
     u_ext: jax.Array
     kappa: float
     mu: float = 0.0
@@ -77,16 +78,18 @@ class ShardedFineLevel:
         """u_pk: packed full-link gauge [4,2,3,3,2,T,Z,S] (unsharded or
         sharded); exchanges the static gauge halo once (T slice; plus a
         one-row Z slab for the overlap engine's backward-leg z repairs
-        when the mesh shards Z).  clover_pk (packed A blocks, both
-        parities) + csw give the twisted-clover fine level."""
-        assert lmesh.ny == 1, \
-            "MG decomposes (t, z) only: aggregates must stay shard-local"
+        when the mesh shards Z, and a U_y(y=-1) row on S when it shards
+        Y — aggregates must then stay shard-local: the first block's by
+        must divide the local Y extent, enforced by validate_config).
+        clover_pk (packed A blocks, both parities) + csw give the
+        twisted-clover fine level."""
         u_sh = lmesh.shard_gauge(u_pk)
 
         def fn(u_loc):
             from ..parallel.sharded import _exchange_gauge
             return _exchange_gauge(u_loc, lmesh.nt, lmesh.nz,
-                                   1 if lmesh.nz > 1 else None)
+                                   1 if lmesh.nz > 1 else None,
+                                   lmesh.ny, lat.Lx // 2)
 
         spec = lmesh.gauge_spec()
         u_ext = jax.jit(jax.shard_map(
@@ -95,7 +98,7 @@ class ShardedFineLevel:
         if clover_pk is not None:
             clover_pk = jax.device_put(
                 clover_pk, NamedSharding(lmesh.mesh, P(
-                    None, None, None, None, None, "t", "z", None)))
+                    None, None, None, None, None, "t", "z", "y")))
         return ShardedFineLevel(lat=lat, lmesh=lmesh, u_ext=u_ext,
                                 kappa=kappa, mu=mu, flavor=flavor,
                                 backend=backend, block_z=block_z,
@@ -107,7 +110,7 @@ class ShardedFineLevel:
         return 12
 
     def _clover_spec(self):
-        return P(None, None, None, None, None, "t", "z", None)
+        return P(None, None, None, None, None, "t", "z", "y")
 
     def _smap(self, fn, n_in):
         m = self.lmesh
@@ -188,11 +191,12 @@ class ShardedFineLevel:
         from .device import DeviceFineCloverLevel, DeviceFineLevel
         Tl = self.lat.Lt // self.lmesh.nt
         Zl = self.lat.Lz // self.lmesh.nz
+        Sl = self.lmesh.local_y * self.lat.Lx // 2
         m = self.lmesh
 
         def strip(u_l):
-            # drop the per-shard gauge halo slices (T + 1[, Z + 1])
-            return u_l[..., :Tl, :Zl, :]
+            # drop the per-shard gauge halo slices (T + 1[, Z + 1, S + Xh])
+            return u_l[..., :Tl, :Zl, :Sl]
 
         u_pk = jax.jit(jax.shard_map(
             strip, mesh=m.mesh, in_specs=(m.gauge_spec(),),

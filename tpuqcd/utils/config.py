@@ -323,12 +323,10 @@ def validate_config(cfg: "RunConfig") -> None:
             err("mesh.ny > 1 needs the interior/exterior overlap "
                 "engine: set solver.comm_policy to overlap or auto "
                 "(there is no fused halo_y kernel mode)")
-        if ny > 1 and cfg.mg.enabled:
-            err("sharded MG decomposes (t, z) only — mesh.ny must be 1 "
-                "with mg.enabled (aggregates must stay shard-local)")
         if cfg.mg.enabled:
             bt = cfg.mg.block[0][0]
             bz = cfg.mg.block[0][1]
+            by = cfg.mg.block[0][2]
             if (lt // nt) % bt:
                 err(f"sharded MG needs the local T extent {lt // nt} "
                     f"divisible by the t-block {bt} (aggregates must "
@@ -336,6 +334,9 @@ def validate_config(cfg: "RunConfig") -> None:
             if nz > 1 and (lz // nz) % bz:
                 err(f"sharded MG needs the local Z extent {lz // nz} "
                     f"divisible by the z-block {bz}")
+            if ny > 1 and (ly // ny) % by:
+                err(f"sharded MG needs the local Y extent {ly // ny} "
+                    f"divisible by the y-block {by}")
 
 
 def _tupleize(v):
