@@ -123,3 +123,29 @@ def test_twop_mesh_mg_matches_single(monkeypatch, tmp_path):
         np.testing.assert_allclose(
             vm[k], v1[k], rtol=2e-3,
             atol=1e-5 * max(1.0, np.abs(v1[k]).max()), err_msg=k)
+
+
+@pytest.mark.slow
+def test_twop_mesh_mg_y_matches_single(monkeypatch, tmp_path):
+    """Two-point production with the sharded MG solver on a 3-axis
+    (t=2, y=2) mesh == single-device MG run (MG x y-decomposition x
+    physics pipeline in one config)."""
+    from tpuqcd.cli.run_twop import main
+    phys = """  source_positions: [[0, 0, 0, 0]]
+  momenta: [[0, 0, 0]]
+  smear_n_ape: 0
+  smear_n_gauss: 1
+  smear_alpha_gauss: 1.0
+  projectors: [P+]"""
+    mg = ("mg: {enabled: true, n_vec: [4], block: [[2, 2, 2, 4]],"
+          " setup_iters: 8, smoother_iters: 2, coarse_maxiter: 8}\n")
+    single = _run(monkeypatch, tmp_path, main, phys, "twy_1.h5",
+                  mesh=mg, dev=True)
+    mesh = _run(monkeypatch, tmp_path, main, phys, "twy_m.h5",
+                mesh=mg + "mesh: {nt: 2, nz: 1, ny: 2}")
+    v1, vm = _h5_all(single), _h5_all(mesh)
+    assert set(v1) == set(vm)
+    for k in v1:
+        np.testing.assert_allclose(
+            vm[k], v1[k], rtol=2e-3,
+            atol=1e-5 * max(1.0, np.abs(v1[k]).max()), err_msg=k)
