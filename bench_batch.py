@@ -16,7 +16,20 @@ Run on the real TPU: ``python bench_batch.py [--mg]``.
 """
 import argparse
 import json
+import os
+import socket
+import sys
 import time
+
+if "axon" in os.environ.get("PYTHONPATH", ""):
+    # fail fast instead of hanging minutes inside jax backend init when
+    # the remote-TPU service is down (it dials localhost:8083)
+    try:
+        socket.create_connection(("localhost", 8083), timeout=3).close()
+    except OSError:
+        sys.exit("bench_batch: axon TPU service :8083 unreachable — "
+                 "retry when the service is back (or run on CPU with "
+                 "`env PYTHONPATH= JAX_PLATFORMS=cpu`)")
 
 import jax
 

@@ -108,6 +108,24 @@ def test_musweep_composition_rejected(tmp_path):
             "mg: {enabled: true}\n")))
 
 
+def test_ndeg_mesh_accepted(tmp_path):
+    """epsbar + mesh is a supported combination (the sharded ndeg
+    doublet path, cli/run_invert._main_ndeg)."""
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "action: {mubar: 0.05, epsbar: 0.03}\n"
+        "mesh: {nt: 2}\n")))
+    assert cfg.action.epsbar == 0.03 and cfg.mesh.nt == 2
+
+
+def test_eigcg_mesh_rejected(tmp_path):
+    with pytest.raises(ConfigError, match="eigcg is single-chip"):
+        load_config(_write(tmp_path, (
+            "gauge: {dims: [8, 8, 8, 16]}\n"
+            "solver: {solver: eigcg}\n"
+            "mesh: {nt: 2}\n")))
+
+
 def test_ensemble_modes_exclusive(tmp_path):
     with pytest.raises(ConfigError, match="ensemble"):
         load_config(_write(tmp_path, (

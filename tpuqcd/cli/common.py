@@ -440,8 +440,8 @@ def make_solver(cfg, lat, u_pk, u_full):
                                         ShardedTMOperatorPC)
         from ..solve import make_clover_fields, solve_tm_sharded
 
-        def _resolve_policy(op_fused, fields, probe_shape):
-            """comm_policy knob -> overlap bool (tune on real TPUs)."""
+        def _static_policy():
+            """overlap choice derivable without timing, else None."""
             if cfg.solver.backend == "xla":
                 return True      # xla interior IS the overlap form
             if lmesh.ny > 1:
@@ -449,6 +449,13 @@ def make_solver(cfg, lat, u_pk, u_full):
             pol = cfg.solver.comm_policy
             if pol in ("fused", "overlap"):
                 return pol == "overlap"
+            return None
+
+        def _resolve_policy(op_fused, fields, probe_shape):
+            """comm_policy knob -> overlap bool (tune on real TPUs)."""
+            st = _static_policy()
+            if st is not None:
+                return st
             n_dev = lmesh.nt * lmesh.nz * lmesh.ny
             on_tpu = jax.devices()[0].platform not in ("cpu",)
             if n_dev == 1 or not on_tpu:
@@ -467,7 +474,7 @@ def make_solver(cfg, lat, u_pk, u_full):
             log.info("comm_policy auto -> %s", winner)
             return winner == "overlap"
 
-        overlap_s = cfg.solver.backend == "xla" or lmesh.ny > 1
+        overlap_s = bool(_static_policy())
         ops = {}
         if csw != 0.0:
             clover = make_clover_fields(u_pk, lat, kappa=cfg.action.kappa,

@@ -50,10 +50,15 @@ class ShardedFineLevel:
     setup (null vectors, probing) and the V-cycle work unchanged; the
     coarse levels stay GSPMD/replicated (mg/shard.py header).
 
-    u_ext: packed FULL-link gauge with the t-halo slice appended
-    per-shard, stored as a global array [4, 2, 3, 3, 2, T + nt, Z, S]
-    sharded over T (each shard holds Tl + 1 slices) — gauge halos are
-    static per configuration, exchanged once here.
+    u_ext: packed FULL-link gauge with the halo slabs of every sharded
+    axis appended per-shard: a global array
+    [4, 2, 3, 3, 2, T + nt·1, Z + (nz>1), S + (ny>1)·Xh]
+    sharded over (t, z, y) — the T axis grows one slice per shard, Z
+    gains a one-row slab for the overlap engine's backward-leg z
+    repairs when Z is sharded, and S gains a U_y(y=-1) row (Xh wide)
+    when Y is sharded.  Gauge halos are static per configuration,
+    exchanged once here; consumers must slice [..., :Tl, :Zl, :S_loc]
+    for the interior.
     """
     lat: Lattice
     lmesh: object                 # parallel.mesh.LatticeMesh (t, z, y)
@@ -65,8 +70,8 @@ class ShardedFineLevel:
     block_z: int | None = None
     interpret: bool = False
     #: packed clover A blocks [2par, 2ri, 2chir, 6, 6, T, Z, S] sharded
-    #: over (t, z): site-local, so the twisted-CLOVER fine level needs no
-    #: extra halo machinery — the hop term stays clover-free (the
+    #: over (t, z, y): site-local, so the twisted-CLOVER fine level needs
+    #: no extra halo machinery — the hop term stays clover-free (the
     #: reference's dirac_twisted_clover full-operator split [U])
     clover_pk: jax.Array | None = None
     csw: float = 0.0

@@ -122,7 +122,8 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
     equivalent explicit pass used for the XLA interior; ``epi_corr
     (delta, region)`` applies the epilogue's site-local linear part to
     a boundary slab correction, region in {"t_first", "t_last",
-    "z_first", "z_last"} naming the slice for site-varying operands.
+    "z_first", "z_last", "y_first", "y_last"} naming the slice for
+    site-varying operands.
     All three default to the plain hop (identity epilogue).
     """
     p, q = parity, 1 - parity
@@ -172,8 +173,9 @@ def dslash_overlap(u_ext, psi_loc, parity, lat: Lattice, lmesh,
 
     # 2. interior: full local volume with LOCAL-periodic wraps (the
     # boundary slices are wrong and repaired below; recompute cost is
-    # 2/Tl + 2/Zl of the volume, the classic interior/exterior tradeoff
-    # flipped into pure data-parallel form)
+    # 2/Tl + 2/Zl + 2/Yl of the volume over the sharded axes, the
+    # classic interior/exterior tradeoff flipped into pure
+    # data-parallel form)
     u_loc = u_ext[..., :Tl, :Zl, :S_loc]
     if backend == "pallas":
         from ..ops.dslash_pallas import dslash_eo_pallas

@@ -147,8 +147,9 @@ class MeshParams:
     """Multi-chip domain decomposition (the reference's --gridsize
     [U] SURVEY.md §6.8): lattice T, Z and Y axes over the device mesh
     (X stays on-chip — it is the TPU lane axis).  ny > 1 requires the
-    interior/exterior overlap comm policy and no MG (aggregates must
-    stay shard-local)."""
+    interior/exterior overlap comm policy; MG works on y meshes as
+    long as the first block's y extent divides the local Y (aggregates
+    must stay shard-local — validated at load)."""
     nt: int = 1
     nz: int = 1
     ny: int = 1
@@ -240,6 +241,10 @@ def validate_config(cfg: "RunConfig") -> None:
         err("solver.solver: eigcg supports the plain twisted-mass "
             "operator only; with action.csw != 0 use mg.enabled or "
             "solver: cg/bicgstab")
+    if (cfg.solver.solver == "eigcg"
+            and cfg.mesh.nt * cfg.mesh.nz * cfg.mesh.ny > 1):
+        err("solver.solver: eigcg is single-chip; with mesh use "
+            "mg.enabled or solver: cg/bicgstab")
     if cfg.action.epsbar != 0.0:
         t = 2.0 * cfg.action.kappa * cfg.action.mubar
         e = 2.0 * cfg.action.kappa * cfg.action.epsbar

@@ -128,6 +128,13 @@ def tune_comm_policy(lat: Lattice, lmesh, apply_fns: dict,
     key = (f"comm_policy/{lat.dims}/{lmesh.nt}x{lmesh.nz}"
            f"x{getattr(lmesh, 'ny', 1)}/{tag}/{dev.device_kind}")
     cache = _load()
+    if key not in cache and getattr(lmesh, "ny", 1) == 1:
+        # migrate pre-y-mesh cache entries ("NxM" key format)
+        legacy = (f"comm_policy/{lat.dims}/{lmesh.nt}x{lmesh.nz}"
+                  f"/{tag}/{dev.device_kind}")
+        if legacy in cache:
+            cache[key] = cache.pop(legacy)
+            _store(cache)
     if key in cache and not force:
         w = cache[key]["policy"]
         if w in apply_fns:
