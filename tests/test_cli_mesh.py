@@ -149,3 +149,26 @@ def test_twop_mesh_mg_y_matches_single(monkeypatch, tmp_path):
         np.testing.assert_allclose(
             vm[k], v1[k], rtol=2e-3,
             atol=1e-5 * max(1.0, np.abs(v1[k]).max()), err_msg=k)
+
+
+@pytest.mark.slow
+def test_invert_ndeg_mesh(monkeypatch, tmp_path, capsys):
+    """run_invert with epsbar + mesh: the sharded non-degenerate
+    doublet solve certifies on the forced 8-device CPU mesh (heavy
+    s/c doublet under --gridsize [U])."""
+    from tpuqcd.cli.run_invert import main
+
+    cfgp = tmp_path / "ndeg.yaml"
+    cfgp.write_text(
+        "gauge: {dims: [4, 4, 4, 8], random_seed: 3}\n"
+        "action: {kappa: 0.12, mubar: 0.05, epsbar: 0.03}\n"
+        "solver: {tol: 1.0e-8, backend: xla}\n"
+        "mesh: {nt: 2, nz: 1}\n")
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    main()
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+    rel = float(line.split("relres=")[1].split()[0])
+    assert rel < 1e-8
+    assert "ndeg=1" in line

@@ -156,16 +156,52 @@ def _main_ndeg(cfg, lat, u_pk):
                                   dtype=jnp.float32))
             cols.append(full_to_packed(b, lat))
         b_pk = jnp.stack(cols)               # [2(flavor), 2par, ...]
-    b_acc = jax.device_put(b_pk, accel())
+    # multi-chip: the sharded doublet operator over the config mesh
+    # (reference: heavy s/c invertQuda under mpirun --gridsize [U])
+    lmesh = None
+    mesh_cfg = getattr(cfg, "mesh", None)
+    if mesh_cfg is not None and \
+            mesh_cfg.nt * mesh_cfg.nz * mesh_cfg.ny > 1:
+        import dataclasses as _dc
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import LatticeMesh
+        from ..parallel.sharded import ShardedNdegTMOperatorPC
+        from ..solve import solve_ndeg_tm_sharded
+        lmesh = LatticeMesh.make(lat, mesh_cfg.nt, mesh_cfg.nz,
+                                 mesh_cfg.ny,
+                                 devices=jax.devices(accel().platform))
+        log.info("ndeg lattice mesh: %d x %d x %d devices over (T, Z, Y)",
+                 mesh_cfg.nt, mesh_cfg.nz, mesh_cfg.ny)
+        overlap = (cfg.solver.backend == "xla" or mesh_cfg.ny > 1
+                   or cfg.solver.comm_policy == "overlap")
+        op_s = ShardedNdegTMOperatorPC(
+            lat, lmesh, kappa=cfg.action.kappa, mubar=cfg.action.mubar,
+            epsbar=cfg.action.epsbar, backend=cfg.solver.backend,
+            overlap=overlap)
+        op_hp = _dc.replace(op_s, backend="xla", overlap=True)
+        u_ext = op_s.extend_gauge(
+            lmesh.shard_gauge(u_pk.astype(jnp.float32)))
+        b_acc = jax.device_put(b_pk, NamedSharding(
+            lmesh.mesh, P(None, None, *lmesh.spinor_spec())))
+    else:
+        b_acc = jax.device_put(b_pk, accel())
     prof = Profile()
     with prof.phase("solve"):
-        res = solve_ndeg_tm(u_pk, b_acc, lat, kappa=cfg.action.kappa,
-                            mubar=cfg.action.mubar,
-                            epsbar=cfg.action.epsbar,
-                            tol=cfg.solver.tol,
-                            maxiter=cfg.solver.maxiter,
-                            inner_tol=cfg.solver.inner_tol,
-                            backend=cfg.solver.backend)
+        if lmesh is not None:
+            res = solve_ndeg_tm_sharded(
+                op_s, op_hp, u_ext, u_ext.astype(jnp.float64), b_acc,
+                tol=cfg.solver.tol, maxiter=cfg.solver.maxiter,
+                inner_tol=cfg.solver.inner_tol)
+        else:
+            res = solve_ndeg_tm(u_pk, b_acc, lat, kappa=cfg.action.kappa,
+                                mubar=cfg.action.mubar,
+                                epsbar=cfg.action.epsbar,
+                                tol=cfg.solver.tol,
+                                maxiter=cfg.solver.maxiter,
+                                inner_tol=cfg.solver.inner_tol,
+                                backend=cfg.solver.backend)
         jax.block_until_ready(res.x)
     t = prof.times["solve"]
     log.info("ndeg solve: relres=%.2e iters=%d", float(res.relres),
@@ -175,7 +211,9 @@ def _main_ndeg(cfg, lat, u_pk):
                                 mubar=cfg.action.mubar,
                                 epsbar=cfg.action.epsbar, backend="xla")
     u64 = u_pk.astype(jnp.float64)
-    x64 = res.x
+    # gather the (possibly mesh-sharded) solution for the host-side cert
+    x64 = jnp.asarray(jax.device_get(res.x), dtype=jnp.float64) \
+        if lmesh is not None else res.x
 
     def full_m(chi):
         """full two-parity M_nd on [2fl, 2par, 2ri, ...] (site + hops)."""

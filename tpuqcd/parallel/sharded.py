@@ -527,3 +527,128 @@ class ShardedTMCloverOperatorPC:
                             check_vma=False)(
             fields[0], clinv, x_e, b_pk[1])
         return jnp.stack([x_e, x_o], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedNdegTMOperatorPC:
+    """Even-odd preconditioned NON-DEGENERATE twisted-mass doublet over
+    a LatticeMesh (the multi-chip heavy s/c solver; reference
+    `dslash_ndeg_twisted_mass.cu` + its *PC Dirac class run under the
+    MPI --gridsize decomposition [U]; SURVEY.md C5/C10/C13).
+
+    Mirrors operators.PackedNdegTMOperatorPC; the hop term is
+    FLAVOR-DIAGONAL (one plain Wilson hop per flavor, each through the
+    inherited halo machinery / overlap engine with epilogue "none"),
+    while the flavor-MIXING site terms
+
+        A = 1 + i t g5 tau3 + e tau1   (t = 2 kappa mubar,
+                                        e = 2 kappa epsbar)
+
+    and the closed-form A^{-1} are purely site-local, so they run as
+    elementwise passes inside the same shard_map region with no extra
+    communication.  chi: packed doublet [2(fl), 2(ri), 4, 3, T, Z, S],
+    sharded with the spinor spec on the trailing axes (flavor
+    replicated across the mesh axes like the other leading dims).
+
+    Boundary-phase convention matches the other sharded operators: the
+    gauge field arrives pre-phased (cli/common.setup_gauge), so no
+    t_boundary parameter; compressed links get the rebuilt-row phase
+    via the inherited global-T offset.
+    """
+    lat: Lattice
+    lmesh: LatticeMesh
+    kappa: float
+    mubar: float = 0.0
+    epsbar: float = 0.0
+    backend: str = "pallas"
+    block_z: int | None = None
+    interpret: bool = False
+    overlap: bool = False
+    halo_half: bool = True
+
+    # hop plumbing shared with the TM operator: epilogue is always
+    # "none" so mu/flavor are inert (site terms live here instead)
+    _local_lat_dims = ShardedTMOperatorPC._local_lat_dims
+    _zb = ShardedTMOperatorPC._zb
+    _dslash_local = ShardedTMOperatorPC._dslash_local
+    extend_gauge = ShardedTMOperatorPC.extend_gauge
+    mu: float = 0.0          # read by _dslash_local's kernel kwargs
+    flavor: int = +1         # (inert under epilogue "none")
+
+    def _smap_nd(self, fn, n_doublet_in: int):
+        m = self.lmesh
+        dspec = P(None, *m.spinor_spec())
+        specs_in = (m.gauge_spec(),) + (dspec,) * n_doublet_in
+        return jax.shard_map(fn, mesh=m.mesh, in_specs=specs_in,
+                             out_specs=dspec, check_vma=False)
+
+    # --- site algebra (operators.PackedNdegTMOperatorPC twins) --------
+    def _t_e(self, flip):
+        t = 2.0 * self.kappa * self.mubar * (1 if not flip else -1)
+        e = 2.0 * self.kappa * self.epsbar
+        return t, e
+
+    def _site(self, chi, flip):
+        from ..operators import _itwg5_packed
+        t, e = self._t_e(flip)
+        ee = jnp.asarray(e, chi.dtype)
+        a0 = chi[0] + _itwg5_packed(chi[0], t) + ee * chi[1]
+        a1 = chi[1] + _itwg5_packed(chi[1], -t) + ee * chi[0]
+        return jnp.stack([a0, a1])
+
+    def _site_inv(self, chi, flip):
+        from ..operators import _itwg5_packed
+        t, e = self._t_e(flip)
+        den = 1.0 / (1.0 + t * t - e * e)
+        ee = jnp.asarray(e, chi.dtype)
+        d = jnp.asarray(den, chi.dtype)
+        x0 = d * (chi[0] - _itwg5_packed(chi[0], t) - ee * chi[1])
+        x1 = d * (chi[1] - _itwg5_packed(chi[1], -t) - ee * chi[0])
+        return jnp.stack([x0, x1])
+
+    def _hop(self, u_l, chi_l, parity, dagger):
+        """Flavor-diagonal hop on the local doublet (2 kernel calls)."""
+        return jnp.stack([
+            self._dslash_local(u_l, chi_l[0], parity, dagger, "none", +1),
+            self._dslash_local(u_l, chi_l[1], parity, dagger, "none", +1)])
+
+    # --- operator ------------------------------------------------------
+    def _apply(self, u_ext, chi_e, dagger):
+        k2 = self.kappa * self.kappa
+
+        def fn(u_l, chi_l):
+            d = self._hop(u_l, chi_l, EVEN, dagger)
+            w = self._site_inv(d, dagger)
+            d2 = self._hop(u_l, w, ODD, dagger)
+            return (self._site(chi_l, dagger)
+                    - jnp.asarray(k2, chi_l.dtype) * d2)
+
+        return self._smap_nd(fn, 1)(u_ext, chi_e)
+
+    def apply(self, u_ext, chi_e):
+        return self._apply(u_ext, chi_e, dagger=False)
+
+    def apply_dagger(self, u_ext, chi_e):
+        return self._apply(u_ext, chi_e, dagger=True)
+
+    def normal(self, u_ext, chi_e):
+        return self.apply_dagger(u_ext, self.apply(u_ext, chi_e))
+
+    def prepare(self, u_ext, b_pk):
+        """b [2fl, 2par, 2ri, 4, 3, T, Z, S] -> even doublet source."""
+        def fn(u_l, be_l, bo_l):
+            t = self._site_inv(bo_l, False)
+            d = self._hop(u_l, t, ODD, False)
+            return be_l + jnp.asarray(self.kappa, be_l.dtype) * d
+
+        return self._smap_nd(fn, 2)(u_ext, b_pk[:, 0], b_pk[:, 1])
+
+    def reconstruct(self, u_ext, x_e, b_pk):
+        """x_o = A_oo^{-1} (b_o + k D_oe x_e) -> [2fl, 2par, ...]."""
+        def fn(u_l, xe_l, bo_l):
+            d = self._hop(u_l, xe_l, EVEN, False)
+            t = bo_l + jnp.asarray(self.kappa, xe_l.dtype) * d
+            return self._site_inv(t, False)
+
+        x_o = self._smap_nd(fn, 2)(u_ext, x_e, b_pk[:, 1])
+        return jnp.stack([x_e, x_o], axis=1)

@@ -170,6 +170,27 @@ def solve_tm_sharded(op_s, op_hp, fields_s, fields_hp, b_pk: jax.Array,
     return SolveResult(x=x, relres=relres, iters=iters)
 
 
+def solve_ndeg_tm_sharded(op_s, op_hp, fields_s, fields_hp,
+                          b_pk: jax.Array, *, tol: float = 1e-10,
+                          maxiter: int = 5000,
+                          inner_tol: float = 1e-5) -> SolveResult:
+    """Multi-chip twin of solve_ndeg_tm: mixed-precision solve of the
+    full NON-DEGENERATE doublet system on a LatticeMesh (reference: the
+    heavy s/c `invertQuda` calls under `mpirun --gridsize` [U]).
+
+    op_s / op_hp: parallel.sharded.ShardedNdegTMOperatorPC (sloppy
+    iteration operator / dtype-generic f64 certification twin,
+    overlap=True + backend="xla" for the latter); b_pk: sharded packed
+    doublet [2(fl), 2(par), 2(ri), 4, 3, T, Z, S].  The solver is CG on
+    the normal equations (Mhat_nd is gamma5-tau1-Hermitian, not
+    Hermitian) — the same defect-correction structure as solve_tm, so
+    this delegates to it.
+    """
+    return solve_tm_sharded(op_s, op_hp, fields_s, fields_hp, b_pk,
+                            tol=tol, maxiter=maxiter,
+                            inner_tol=inner_tol, solver="cg")
+
+
 def solve_ndeg_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
                   kappa: float, mubar: float, epsbar: float,
                   tol: float = 1e-10, maxiter: int = 5000,
