@@ -118,6 +118,15 @@ def test_ndeg_mesh_accepted(tmp_path):
     assert cfg.action.epsbar == 0.03 and cfg.mesh.nt == 2
 
 
+def test_musweep_mesh_accepted(tmp_path):
+    """mu_list + mesh is supported (sharded-fine-level multishift)."""
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "action: {mu_list: [0.05, 0.1]}\n"
+        "mesh: {nt: 2}\n")))
+    assert tuple(cfg.action.mu_list) == (0.05, 0.1) and cfg.mesh.nt == 2
+
+
 def test_eigcg_mesh_rejected(tmp_path):
     with pytest.raises(ConfigError, match="eigcg is single-chip"):
         load_config(_write(tmp_path, (

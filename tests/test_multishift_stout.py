@@ -92,3 +92,29 @@ def test_smeared_gauge_stout_dispatch():
     got = smeared_gauge(cfg, LAT, u_dev)
     want = stout_smear(u_dev, LAT, rho=0.1, n_steps=2, spatial_only=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_solve_tm_musweep_mesh_matches_single(cpu_devices):
+    """Mass sweep on a (2,1) LatticeMesh (matvec through the sharded
+    fine level) == the single-device sweep; every mass certified
+    (reference inv_multi_cg_quda under --gridsize [U])."""
+    from tpuqcd.parallel.mesh import LatticeMesh
+    from tpuqcd.solve import solve_tm_musweep
+    u = apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(2), LAT), LAT)
+    u_pk = pack_gauge(u)
+    b = random_spinor_dev(jax.random.PRNGKey(3), LAT)
+    b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
+    mu_list = (0.1, 0.05)
+    xs1, rel1, _ = solve_tm_musweep(
+        u_pk, b_pk, LAT, kappa=0.115, mu_list=mu_list, tol=1e-8,
+        maxiter=2000, backend="xla")
+    lmesh = LatticeMesh.make(LAT, 2, 1, devices=cpu_devices)
+    xs2, rel2, _ = solve_tm_musweep(
+        u_pk, b_pk, LAT, kappa=0.115, mu_list=mu_list, tol=1e-8,
+        maxiter=2000, backend="xla", lmesh=lmesh)
+    for i in range(len(mu_list)):
+        assert float(rel2[i]) < 5e-6
+    np.testing.assert_allclose(np.asarray(xs2), np.asarray(xs1),
+                               atol=2e-5)

@@ -115,13 +115,25 @@ def _main_musweep(cfg, lat, u_pk):
             jax.random.normal(ki, (*lat.full_shape, 4, 3),
                               dtype=jnp.float32))
         b_pk = full_to_packed(b, lat)
-    b_acc = jax.device_put(b_pk, accel())
+    # multi-chip: route the matvec through the sharded fine level
+    lmesh = None
+    mesh_cfg = getattr(cfg, "mesh", None)
+    if mesh_cfg is not None and \
+            mesh_cfg.nt * mesh_cfg.nz * mesh_cfg.ny > 1:
+        from ..parallel.mesh import LatticeMesh
+        lmesh = LatticeMesh.make(lat, mesh_cfg.nt, mesh_cfg.nz,
+                                 mesh_cfg.ny,
+                                 devices=jax.devices(accel().platform))
+        log.info("musweep lattice mesh: %d x %d x %d devices over "
+                 "(T, Z, Y)", mesh_cfg.nt, mesh_cfg.nz, mesh_cfg.ny)
+    b_acc = b_pk if lmesh is not None \
+        else jax.device_put(b_pk, accel())
     mu_list = tuple(float(m) for m in cfg.action.mu_list)
     t0 = time.perf_counter()
     xs, relres, iters = solve_tm_musweep(
         u_pk, b_acc, lat, kappa=cfg.action.kappa, mu_list=mu_list,
         tol=cfg.solver.tol, maxiter=cfg.solver.maxiter,
-        backend=cfg.solver.backend)
+        backend=cfg.solver.backend, lmesh=lmesh)
     jax.block_until_ready(xs)
     dt = time.perf_counter() - t0
     for i, mu in enumerate(mu_list):

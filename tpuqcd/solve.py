@@ -429,7 +429,8 @@ def solve_tm_batch(u_pk: jax.Array, b_pks: jax.Array, lat: Lattice,
 
 def solve_tm_musweep(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
                      kappa: float, mu_list, tol: float = 1e-8,
-                     maxiter: int = 4000, backend: str = "pallas"):
+                     maxiter: int = 4000, backend: str = "pallas",
+                     lmesh=None):
     """Twisted-mass quark-MASS SWEEP: M(mu_i) x_i = b for every mu from
     ONE multi-shift CG Krylov space.
 
@@ -451,6 +452,12 @@ def solve_tm_musweep(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     [n_mu] f64 CERTIFIED true residuals |b - M(mu_i) x_i| / |b|,
     iters).  The iterated multishift tolerance is what `tol` controls;
     the returned residuals are the independent f64 certificates.
+
+    lmesh: a parallel.mesh.LatticeMesh runs the sweep MULTI-CHIP — the
+    matvec goes through mg.shard.ShardedFineLevel (per-shard kernels +
+    overlap halo repairs), the Krylov scalars auto-psum across shards;
+    same one-Krylov-space algebra (reference `inv_multi_cg_quda.cpp`
+    under --gridsize [U]).
     """
     from functools import partial
 
@@ -462,13 +469,24 @@ def solve_tm_musweep(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     order = sorted(range(len(mu_list)), key=lambda i: mu_list[i] ** 2)
     shifts = tuple((2.0 * kappa * mu_list[i]) ** 2 for i in order)
 
-    @partial(jax.jit, static_argnames=("lat_", "kappa_", "shifts_",
-                                       "mus_", "backend_", "tol_",
+    if lmesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .mg.shard import ShardedFineLevel
+        level0 = ShardedFineLevel.build(
+            lat, lmesh, u_pk.astype(jnp.float32), kappa, 0.0,
+            backend=backend)
+        # solver layout [2par, 2ri, 4, 3, T, Z, S]: one leading axis
+        # over the rank-6 spinor spec
+        b_pk = jax.device_put(b_pk, NamedSharding(
+            lmesh.mesh, P(None, *lmesh.spinor_spec())))
+    else:
+        level0 = DeviceFineLevel(lat, u_pk.astype(jnp.float32), kappa,
+                                 mu=0.0, backend=backend)
+
+    @partial(jax.jit, static_argnames=("shifts_", "mus_", "tol_",
                                        "maxiter_"))
-    def _sweep(u_a, b_a, lat_, kappa_, shifts_, mus_, backend_, tol_,
-               maxiter_):
-        level = DeviceFineLevel(lat_, u_a.astype(jnp.float32), kappa_,
-                                mu=0.0, backend=backend_)
+    def _sweep(level, b_a, shifts_, mus_, tol_, maxiter_):
         g5 = jnp.asarray(_G5_DIAG, jnp.float32).reshape(1, 1, 4, 1, 1,
                                                         1, 1)
 
@@ -489,8 +507,8 @@ def solve_tm_musweep(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
         return jnp.stack(xs), res.iters
 
     mus_sorted = tuple(mu_list[i] for i in order)
-    xs_sorted, iters = _sweep(u_pk, b_pk, lat, kappa, shifts,
-                              mus_sorted, backend, tol, maxiter)
+    xs_sorted, iters = _sweep(level0, b_pk, shifts, mus_sorted, tol,
+                              maxiter)
     inv = [0] * len(order)
     for pos, i in enumerate(order):
         inv[i] = pos

@@ -225,12 +225,11 @@ def validate_config(cfg: "RunConfig") -> None:
             "gauge.config_files / gauge.random_seeds for ensembles")
     if cfg.action.mu_list:
         if (cfg.action.csw != 0.0 or cfg.action.epsbar != 0.0
-                or cfg.mg.enabled
-                or cfg.mesh.nt * cfg.mesh.nz * cfg.mesh.ny > 1
-                or cfg.solver.solver != "cg"):
+                or cfg.mg.enabled or cfg.solver.solver != "cg"):
             err("action.mu_list (multishift mass sweep) supports the "
-                "plain twisted-mass operator with solver: cg on a "
-                "single chip — unset csw/epsbar/mg/mesh or drop mu_list")
+                "plain twisted-mass operator with solver: cg — unset "
+                "csw/epsbar/mg or drop mu_list (mesh is fine: the "
+                "sweep runs through the sharded fine level)")
     if not (0.0 < cfg.solver.tol < 1.0):
         err(f"solver.tol must be in (0, 1), got {cfg.solver.tol}")
     if cfg.solver.maxiter <= 0:
