@@ -43,18 +43,20 @@ from ..operators import _G5_DIAG
 
 
 def _auto_block_z(Z: int, S: int, itemsize: int,
-                  vmem_budget: int = 12 * 2**20) -> int:
+                  vmem_budget: int = 12 * 2**20,
+                  clover: bool = False) -> int:
     """Largest LEGAL divisor Zb of Z whose VMEM footprint fits the budget.
 
     Legal per the Mosaic tiling rule: the second-minor block dim must be
     a multiple of 8 or equal the full extent.  Accounting per z-row
     (double-buffered): psi blocks (center, t+-1, and when blocked zb+-1)
     5 x 24 x 2, gauge 144 x 2 + halo slices, out 24 x 2, psi0 24 x 2 =>
-    ~700 x S x itemsize bytes.
+    ~700 x S x itemsize bytes; the clover epilogues additionally stream
+    the packed chiral blocks [2,2,6,6] = 144 reals/site x 2 (buffers).
     """
     # the kernel upcasts blocks to f32 internally, so VMEM pressure is
     # bounded by the f32 footprint even for bf16 storage
-    per_row = 700 * S * max(itemsize, 4)
+    per_row = (700 + (288 if clover else 0)) * S * max(itemsize, 4)
     legal = [z for z in range(1, Z + 1)
              if Z % z == 0 and (z % 8 == 0 or z == Z)]
     fitting = [z for z in legal if z * per_row <= vmem_budget]
@@ -571,7 +573,8 @@ def dslash_eo_pallas(u_pk: jax.Array, psi_pk: jax.Array, src_parity: int,
             "shard's global T offset, e.g. axis_index('t') * Tl)")
     p = src_parity
     if block_z is None:
-        block_z = _auto_block_z(Z, S, psi_pk.dtype.itemsize)
+        block_z = _auto_block_z(Z, S, psi_pk.dtype.itemsize,
+                                clover=clover_pk is not None)
     Zb = block_z
     assert Z % Zb == 0
     nzb = Z // Zb

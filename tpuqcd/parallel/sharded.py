@@ -191,6 +191,9 @@ class ShardedTMOperatorPC:
     #: faces travel as 12-real half-spinors; exact in f32 (see the
     #: _exchange_*_half docstrings).  Both comm policies honor it.
     halo_half: bool = True
+    #: set by the clover twin: the fused clover epilogues stream the
+    #: packed chiral blocks too, which _auto_block_z must budget for
+    has_clover: bool = False
 
     def _local_lat_dims(self):
         return self.lmesh.local_dims
@@ -201,7 +204,7 @@ class ShardedTMOperatorPC:
             return self.block_z
         Tl, Zl = self.lmesh.local_dims
         S = self.lmesh.local_y * self.lat.Lx // 2
-        zb = _auto_block_z(Zl, S, 4)
+        zb = _auto_block_z(Zl, S, 4, clover=self.has_clover)
         return zb
 
     def _dslash_local(self, u_ext, psi_loc, parity, dagger, epilogue,
@@ -364,7 +367,7 @@ class ShardedTMCloverOperatorPC:
         return ShardedTMOperatorPC(
             self.lat, self.lmesh, self.kappa, self.mu, self.flavor,
             self.backend, self.block_z, self.interpret, self.overlap,
-            self.halo_half)
+            self.halo_half, has_clover=True)
 
     def extend_fields(self, u_pk, cl_pk, clinv_p, clinv_m):
         """Shard the clover arrays and exchange the gauge halo once."""
