@@ -284,10 +284,14 @@ def _ndeg_problem():
     return u_pk, chi
 
 
-@pytest.mark.parametrize("grid", [(2, 1, 1), (2, 2, 1),
-                                  pytest.param((2, 1, 2),
-                                               marks=pytest.mark.slow)])
-def test_sharded_ndeg_apply_matches_single(grid, cpu_devices):
+@pytest.mark.parametrize("grid,block_z", [
+    ((2, 1, 1), 2),
+    # block_z=None exercises the auto-block path (_zb reads has_clover —
+    # ADVICE r2 regression guard for the borrowed-method dataclass field)
+    ((2, 1, 1), None),
+    ((2, 2, 1), 2),
+    pytest.param((2, 1, 2), 2, marks=pytest.mark.slow)])
+def test_sharded_ndeg_apply_matches_single(grid, block_z, cpu_devices):
     """ShardedNdegTMOperatorPC == PackedNdegTMOperatorPC on (t, z, y)
     meshes: flavor-diagonal hops through the halo machinery, the
     flavor-mixing site terms shard-local (reference ndeg doublet under
@@ -304,8 +308,8 @@ def test_sharded_ndeg_apply_matches_single(grid, cpu_devices):
 
     lmesh = LatticeMesh.make(LAT, nt, nz, ny, devices=cpu_devices)
     op = ShardedNdegTMOperatorPC(LAT, lmesh, kappa=KAP, mubar=MUB,
-                                 epsbar=EPS, interpret=True, block_z=2,
-                                 overlap=ny > 1)
+                                 epsbar=EPS, interpret=True,
+                                 block_z=block_z, overlap=ny > 1)
     u_ext = op.extend_gauge(lmesh.shard_gauge(u_pk))
     chi_sh = jax.device_put(
         chi, jax.sharding.NamedSharding(

@@ -568,6 +568,8 @@ class ShardedNdegTMOperatorPC:
     interpret: bool = False
     overlap: bool = False
     halo_half: bool = True
+    #: read by the borrowed _zb (no clover epilogue on the ndeg path)
+    has_clover: bool = False
 
     # hop plumbing shared with the TM operator: epilogue is always
     # "none" so mu/flavor are inert (site terms live here instead)
