@@ -100,6 +100,32 @@ def test_loops_mesh_matches_single(monkeypatch, tmp_path):
             atol=5e-5 * max(1.0, np.abs(v1[k]).max()), err_msg=k)
 
 
+LOOPS_DEFL_PHYS = """  n_noise: 2
+  dilute_t: 2
+  n_deflate: 4
+  momenta: [[0, 0, 0]]"""
+
+
+@pytest.mark.slow
+def test_loops_deflated_mesh_matches_single(monkeypatch, tmp_path):
+    """Lanczos-deflated loops on the mesh == single-device (SURVEY.md
+    C27 / VERDICT r2 #4: the deflation basis is built by GSPMD-
+    partitioned Lanczos over the sharded gauge, and the exact low-mode
+    complement solves run through the sharded solver)."""
+    from tpuqcd.cli.run_loops import main
+    single = _run(monkeypatch, tmp_path, main, LOOPS_DEFL_PHYS, "ld_1.h5",
+                  dev=True)
+    mesh = _run(monkeypatch, tmp_path, main, LOOPS_DEFL_PHYS, "ld_m.h5",
+                mesh="mesh: {nt: 2, nz: 1}")
+    v1, vm = _h5_all(single), _h5_all(mesh)
+    assert set(v1) == set(vm)
+    assert any("loops/oneend_lowmode/" in k for k in v1)
+    for k in v1:
+        np.testing.assert_allclose(
+            vm[k], v1[k], rtol=5e-3,
+            atol=5e-5 * max(1.0, np.abs(v1[k]).max()), err_msg=k)
+
+
 @pytest.mark.slow
 def test_twop_mesh_mg_matches_single(monkeypatch, tmp_path):
     """Two-point production with the SHARDED MG solver (mesh + mg) ==

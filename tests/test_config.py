@@ -127,12 +127,13 @@ def test_musweep_mesh_accepted(tmp_path):
     assert tuple(cfg.action.mu_list) == (0.05, 0.1) and cfg.mesh.nt == 2
 
 
-def test_eigcg_mesh_rejected(tmp_path):
-    with pytest.raises(ConfigError, match="eigcg is single-chip"):
-        load_config(_write(tmp_path, (
-            "gauge: {dims: [8, 8, 8, 16]}\n"
-            "solver: {solver: eigcg}\n"
-            "mesh: {nt: 2}\n")))
+def test_eigcg_mesh_accepted(tmp_path):
+    """eigcg + mesh is supported (ShardedEigCGSolver, SURVEY.md C20)."""
+    cfg = load_config(_write(tmp_path, (
+        "gauge: {dims: [8, 8, 8, 16]}\n"
+        "solver: {solver: eigcg}\n"
+        "mesh: {nt: 2}\n")))
+    assert cfg.solver.solver == "eigcg" and cfg.mesh.nt == 2
 
 
 def test_ensemble_modes_exclusive(tmp_path):

@@ -121,6 +121,45 @@ def test_eigcg_solver_production_path():
     assert s.space.k >= 8
 
 
+def test_eigcg_sharded_matches_single(cpu_devices):
+    """ShardedEigCGSolver on a 2-device t-mesh reproduces the
+    single-device EigCGSolver solution (SURVEY.md C20: the reference ran
+    eigCG under full MPI decomposition [U] lib/inv_eigcg_quda.cpp); both
+    certify the same 1e-8 true residual and the solutions agree to
+    reduction tolerance.  Runs in the DEFAULT gate (fast-mesh tier)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuqcd import su3
+    from tpuqcd.fields import apply_boundary_phase_dev
+    from tpuqcd.lattice import Lattice
+    from tpuqcd.parallel.mesh import LatticeMesh
+    from tpuqcd.solve import EigCGSolver, ShardedEigCGSolver
+    from tpuqcd.utils.packed import pack_gauge
+
+    lat = Lattice((4, 4, 4, 8))
+    kappa, mu = 0.15, 0.01
+    u_pk = pack_gauge(apply_boundary_phase_dev(
+        su3.random_gauge_dev(jax.random.PRNGKey(9), lat), lat))
+    lmesh = LatticeMesh.make(lat, 2, 1, devices=cpu_devices[:2])
+
+    s1 = EigCGSolver(u_pk, lat, kappa=kappa, mu=mu, nev=4, m=12,
+                     backend="xla")
+    sm = ShardedEigCGSolver(u_pk, lat, lmesh, kappa=kappa, mu=mu,
+                            nev=4, m=12)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    sp = NamedSharding(lmesh.mesh, P(None, *lmesh.spinor_spec()))
+    for k in keys:
+        b_pk = jax.random.normal(
+            k, (2, 2, 4, 3, lat.Lt, lat.Lz, lat.Ly * lat.Lx // 2),
+            dtype=jnp.float32)
+        r1 = s1.solve(b_pk, tol=1e-8, inner_tol=1e-4, maxiter=1500)
+        rm = sm.solve(jax.device_put(b_pk, sp), tol=1e-8,
+                      inner_tol=1e-4, maxiter=1500)
+        assert float(r1.relres) < 1e-8 and float(rm.relres) < 1e-8
+        np.testing.assert_allclose(np.asarray(rm.x), np.asarray(r1.x),
+                                   rtol=2e-5, atol=2e-5)
+    assert sm.space.k >= 4      # the sharded harvest is live too
+
+
 def test_eigcg_on_tm_normal_operator():
     """The production shape: M^dag M on a small twisted-mass lattice;
     12-RHS incremental sequence must amortize."""

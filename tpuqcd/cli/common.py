@@ -256,10 +256,6 @@ def make_solver(cfg, lat, u_pk, u_full):
                                  devices=jax.devices(accel().platform))
         log.info("lattice mesh: %d x %d x %d devices over (T, Z, Y)",
                  mesh_cfg.nt, mesh_cfg.nz, mesh_ny)
-        if cfg.solver.solver == "eigcg":
-            raise NotImplementedError(
-                "eigcg is single-chip; with mesh use mg.enabled or "
-                "solver: cg/bicgstab")
 
     def _put(arr):
         """Place a packed SOLVER-layout array [.., 2par, 2ri, 4, 3, T,
@@ -383,21 +379,30 @@ def make_solver(cfg, lat, u_pk, u_full):
                 "only; with action.csw != 0 use mg.enabled or "
                 "solver: cg/bicgstab (which honor the clover term)")
         # incremental eigCG: one stateful solver per flavor; the
-        # deflation space grows across the 12-column propagator solves
-        from ..solve import EigCGSolver
+        # deflation space grows across the 12-column propagator solves.
+        # On a mesh the sharded twin binds the shard_map operator and
+        # the whole deflation basis carries the mesh sharding (C20).
+        from ..solve import EigCGSolver, ShardedEigCGSolver
         u_acc = jax.device_put(u_pk, accel())
         solvers = {}
 
         def _eigcg_solver(flavor):
             if flavor not in solvers:
-                solvers[flavor] = EigCGSolver(
-                    u_acc, lat, kappa=cfg.action.kappa, mu=cfg.action.mu,
-                    flavor=flavor, backend=cfg.solver.backend,
-                    t_boundary=-1 if cfg.gauge.antiperiodic_t else +1)
+                if lmesh is not None:
+                    solvers[flavor] = ShardedEigCGSolver(
+                        u_pk, lat, lmesh, kappa=cfg.action.kappa,
+                        mu=cfg.action.mu, flavor=flavor,
+                        backend=cfg.solver.backend)
+                else:
+                    solvers[flavor] = EigCGSolver(
+                        u_acc, lat, kappa=cfg.action.kappa,
+                        mu=cfg.action.mu, flavor=flavor,
+                        backend=cfg.solver.backend,
+                        t_boundary=-1 if cfg.gauge.antiperiodic_t else +1)
             return solvers[flavor]
 
         def solve_pk_src(b_pk, flavor=+1):
-            b_pk = jax.device_put(b_pk, accel())
+            b_pk = _put(b_pk)
             res = _eigcg_solver(int(flavor)).solve(
                 b_pk, tol=cfg.solver.tol, inner_tol=cfg.solver.inner_tol,
                 maxiter=cfg.solver.maxiter)
@@ -425,7 +430,7 @@ def make_solver(cfg, lat, u_pk, u_full):
         solve.packed_src_batch = lambda b_pks, flavor=+1: jnp.stack(
             [solve_pk_src(b_pks[i], flavor)
              for i in range(b_pks.shape[0])])
-        solve.lmesh = None
+        solve.lmesh = lmesh
         solve.put = _put
         return solve
 

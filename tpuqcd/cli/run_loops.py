@@ -171,6 +171,12 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
         from ..mg.device import DeviceFineCloverLevel, DeviceFineLevel
         from ..solvers.lanczos import lanczos_lowest_pk
         u32 = u_acc.astype(jnp.float32)
+        # On a mesh the Lanczos operator applies run GSPMD-partitioned
+        # over the sharded gauge (SURVEY.md C27: the reference ran
+        # deflation under full MPI decomposition [U] QKXTM_Deflation);
+        # that needs the XLA fine level — per-device pallas calls do not
+        # partition outside shard_map.
+        backend = "xla" if solve.lmesh is not None else cfg.solver.backend
         if csw != 0.0:
             from ..ops.clover import clover_blocks
             from ..utils.packed import pack_clover, unpack_gauge
@@ -179,19 +185,19 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
             tb = -1 if cfg.gauge.antiperiodic_t else +1
             lv_p = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
                                          csw=csw, flavor=+1,
-                                         backend=cfg.solver.backend,
+                                         backend=backend,
                                          t_boundary=tb)
             lv_m = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
                                          csw=csw, flavor=-1,
-                                         backend=cfg.solver.backend,
+                                         backend=backend,
                                          t_boundary=tb)
         else:
             tb = -1 if cfg.gauge.antiperiodic_t else +1
             lv_p = DeviceFineLevel(lat, u32, ka, mu_, +1,
-                                   backend=cfg.solver.backend,
+                                   backend=backend,
                                    t_boundary=tb)
             lv_m = DeviceFineLevel(lat, u32, ka, mu_, -1,
-                                   backend=cfg.solver.backend,
+                                   backend=backend,
                                    t_boundary=tb)
         g5mg = jnp.asarray(g5d, jnp.float32).reshape(1, 1, 4, 1, 1, 1, 1)
 
@@ -204,6 +210,8 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
             jax.random.PRNGKey(9),
             (2, 2, 4, 3, lat.Lt, lat.Lz, lat.Ly * lat.Lx // 2),
             jnp.float32)
+        if solve.lmesh is not None:
+            v0 = solve.put(v0)     # mesh sharding on the (T, Z, S) axes
         _evals, evecs = lanczos_lowest_pk(
             apply_mmdag, v0, ph.n_deflate,
             n_iter=max(40, 3 * ph.n_deflate))

@@ -285,7 +285,6 @@ class EigCGSolver:
                  mu: float, flavor: int = +1, nev: int = 8, m: int = 24,
                  max_space: int = 96, backend: str = "pallas",
                  interpret: bool = False, t_boundary: int = -1):
-        from .solvers.eigcg import EigCGSpace
         self.lat = lat
         self.nev, self.m, self.max_space = nev, m, max_space
         self.pc32 = PackedTMOperatorPC(lat, kappa=kappa, mu=mu,
@@ -296,6 +295,10 @@ class EigCGSolver:
                                         flavor=flavor, backend="xla")
         self.u32 = u_pk.astype(jnp.float32)
         self.u_hp = u_pk.astype(jnp.float64)
+        self._init_jits()
+
+    def _init_jits(self):
+        from .solvers.eigcg import EigCGSpace
         self._normal = jax.jit(self.pc32.normal)
         self._mdag = jax.jit(self.pc32.apply_dagger)
         self._prep = jax.jit(self.pc_hp.prepare)
@@ -340,6 +343,44 @@ class EigCGSolver:
         x_full = self._recon(self.u_hp, x, b_hp)
         return SolveResult(x=x_full, relres=jnp.asarray(rel),
                            iters=jnp.asarray(total))
+
+
+class ShardedEigCGSolver(EigCGSolver):
+    """Incremental eigCG over a multi-chip LatticeMesh (SURVEY.md C20:
+    the reference ran eigCG under full MPI decomposition [U]
+    lib/inv_eigcg_quda.cpp; here the operator applies are the shard_map
+    sharded TM operator and every field — iterates, residuals, the
+    harvested deflation basis — carries the mesh sharding end to end).
+
+    eigCG's host side is representation-agnostic (solvers/eigcg.py works
+    through apply_a + packed-real dots, which GSPMD partitions), so the
+    multi-chip form differs from the single-chip one only in which
+    operator pair it binds.  Pass mesh-sharded sources (LatticeMesh
+    sharding on the trailing (T, Z, S) axes) to :meth:`solve`.
+    """
+
+    def __init__(self, u_pk: jax.Array, lat: Lattice, lmesh, *,
+                 kappa: float, mu: float, flavor: int = +1, nev: int = 8,
+                 m: int = 24, max_space: int = 96, backend: str = "xla",
+                 overlap: bool | None = None):
+        import dataclasses as _dc
+
+        from .parallel.sharded import ShardedTMOperatorPC
+        self.lat = lat
+        self.nev, self.m, self.max_space = nev, m, max_space
+        if overlap is None:
+            # xla interior IS the overlap form; y-sharding has no fused
+            # halo mode (same policy as cli.common._static_policy)
+            overlap = backend == "xla" or lmesh.ny > 1
+        self.pc32 = ShardedTMOperatorPC(lat, lmesh, kappa=kappa, mu=mu,
+                                        flavor=flavor, backend=backend,
+                                        overlap=overlap)
+        self.pc_hp = _dc.replace(self.pc32, backend="xla", overlap=True)
+        u_ext = self.pc32.extend_gauge(
+            lmesh.shard_gauge(u_pk.astype(jnp.float32)))
+        self.u32 = u_ext
+        self.u_hp = u_ext.astype(jnp.float64)
+        self._init_jits()
 
 
 def setup_multigrid(u_pk: jax.Array, lat: Lattice, *, kappa: float,

@@ -240,10 +240,6 @@ def validate_config(cfg: "RunConfig") -> None:
         err("solver.solver: eigcg supports the plain twisted-mass "
             "operator only; with action.csw != 0 use mg.enabled or "
             "solver: cg/bicgstab")
-    if (cfg.solver.solver == "eigcg"
-            and cfg.mesh.nt * cfg.mesh.nz * cfg.mesh.ny > 1):
-        err("solver.solver: eigcg is single-chip; with mesh use "
-            "mg.enabled or solver: cg/bicgstab")
     if cfg.action.epsbar != 0.0:
         t = 2.0 * cfg.action.kappa * cfg.action.mubar
         e = 2.0 * cfg.action.kappa * cfg.action.epsbar
