@@ -100,7 +100,19 @@ def best_dslash(lat, u, psi):
 
 
 def main():
-    lat = Lattice((32, 32, 32, 64))
+    import argparse
+    ap = argparse.ArgumentParser()
+    # --repeat N: report the MEDIAN of N timed repetitions plus the
+    # spread.  Round-over-round driver runs of the identical kernel have
+    # measured 872-925 GF/s (~5%); the spread is wall-clock noise on the
+    # remote-TPU tunnel (each rep is a host round-trip through the axon
+    # service) plus chip thermal state, not kernel variance — within one
+    # process the per-rep spread is ~1-3%, and the median is stable.
+    ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--dims", type=int, nargs=4, default=[32, 32, 32, 64])
+    args = ap.parse_args()
+
+    lat = Lattice(tuple(args.dims))
     key = jax.random.PRNGKey(0)
 
     ku, kp = jax.random.split(key)
@@ -120,19 +132,23 @@ def main():
         return jnp.real(jnp.ravel(x)[0])
 
     float(chain(u, psi))  # warmup/compile
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
+    times = []
+    for _ in range(max(1, args.repeat)):
         t0 = time.perf_counter()
         float(chain(u, psi))
-        best = min(best, time.perf_counter() - t0)
-
-    gflops = FLOPS_PER_SITE * lat.half_volume * niter / best / 1e9
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    site_flops = FLOPS_PER_SITE * lat.half_volume * niter / 1e9
+    gflops = site_flops / med
     print(json.dumps({
         "metric": f"dslash_eo_gflops_per_chip[{impl}]",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / BASELINE_GFLOPS, 4),
+        "repeats": len(times),
+        "spread_gflops": [round(site_flops / times[-1], 1),
+                          round(site_flops / times[0], 1)],
     }))
 
 

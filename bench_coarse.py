@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""A/B bench: MG coarse-operator apply, VPU broadcast-reduce vs MXU
+dot_general (VERDICT r2 weak #3 — resolve the BASELINE.md vs
+mg/device.py contradiction with a measured number).
+
+The coarse operator is 9 per-site dense N x N complex matvecs
+(mg/device.DeviceCoarseLevel.apply; reference dslash_coarse.cu [U]).
+Per site the contraction dim is N (24-32), far below the 128-lane MXU
+tile, and every site carries its OWN matrix — so the MXU formulation is
+a batched matvec (dot_general with the site axes as batch dims), not a
+weight-stationary matmul.  This script times:
+
+  A. the production path: broadcast-multiply + sum over the contraction
+     axis (VPU streaming, links read once),
+  B. dot_general over packed-real links, batch dims (Tc, Zc, Sc),
+     f32 and bf16 variants, single-RHS and 12-RHS batched.
+
+Run on the real TPU: python bench_coarse.py [--n 24] [--dims 8 8 8 16]
+Prints one JSON line per variant.
+"""
+import argparse
+import json
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def timeit(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=24)
+    ap.add_argument("--dims", type=int, nargs=4, default=[8, 8, 8, 16],
+                    help="coarse dims (Yc, Xc merged into Sc)")
+    ap.add_argument("--nrhs", type=int, default=12)
+    args = ap.parse_args()
+
+    from tpuqcd.mg.device import DeviceCoarseLevel
+
+    Tc, Zc, Yc, Xc = args.dims[3], args.dims[2], args.dims[1], args.dims[0]
+    dims = (Tc, Zc, Yc, Xc)
+    n = args.n
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    links = jax.random.normal(
+        k1, (2, 9, n, n, Tc, Zc, Yc * Xc), dtype=jnp.float32)
+    lvl = DeviceCoarseLevel(dims=dims, n=n, links=links)
+    v1 = jax.random.normal(k2, (2, n, Tc, Zc, Yc * Xc), jnp.float32)
+    vb = jax.random.normal(k3, (args.nrhs, 2, n, Tc, Zc, Yc * Xc),
+                           jnp.float32)
+
+    # ---- A: production VPU broadcast-reduce --------------------------
+    apply_vpu = jax.jit(lvl.apply)
+    apply_vpu_b = jax.jit(jax.vmap(lvl.apply))
+
+    # ---- B: dot_general (site axes batched, contraction over N) -----
+    def _cmul_dg(L, w):
+        # L [2, N, N, T, Z, S], w [..., 2, N, T, Z, S] (leading RHS axes)
+        # dot_general: batch dims (T, Z, S), contract over the second N.
+        def dg(a, b):
+            # a [N, N, T, Z, S] x b [R, N, T, Z, S] -> [R, N, T, Z, S]
+            r = jax.lax.dot_general(
+                a, b,
+                (((1,), (1,)), ((2, 3, 4), (2, 3, 4))),
+                preferred_element_type=jnp.float32)
+            # result [T, Z, S, N, R] -> [R, N, T, Z, S]
+            return jnp.moveaxis(r, (0, 1, 2, 3, 4), (2, 3, 4, 1, 0))
+        rr = dg(L[0], w[:, 0]) - dg(L[1], w[:, 1])
+        ri = dg(L[0], w[:, 1]) + dg(L[1], w[:, 0])
+        return jnp.stack([rr, ri], axis=1)
+
+    def apply_mxu(links, w):
+        # w [R, 2, N, T, Z, S]
+        out = _cmul_dg(links[:, 8], w)
+        for mu in range(4):
+            out = out + _cmul_dg(links[:, mu], _shift(w, mu, +1))
+            out = out + _cmul_dg(links[:, 4 + mu], _shift(w, mu, -1))
+        return out
+
+    def _shift(v, mu, sign):
+        if mu == 3:
+            return jnp.roll(v, -sign, axis=-3)
+        if mu == 2:
+            return jnp.roll(v, -sign, axis=-2)
+        if mu == 1:
+            return jnp.roll(v, -sign * Xc, axis=-1)
+        Sc = v.shape[-1]
+        xi = jnp.arange(Sc, dtype=jnp.int32) % Xc
+        if sign == +1:
+            return jnp.where(xi == Xc - 1, jnp.roll(v, Xc - 1, axis=-1),
+                             jnp.roll(v, -1, axis=-1))
+        return jnp.where(xi == 0, jnp.roll(v, -(Xc - 1), axis=-1),
+                         jnp.roll(v, 1, axis=-1))
+
+    apply_dg = jax.jit(lambda w: apply_mxu(links, w))
+    links_bf = links.astype(jnp.bfloat16)
+    apply_dg_bf = jax.jit(
+        lambda w: apply_mxu(links_bf, w.astype(jnp.bfloat16)))
+
+    vol = Tc * Zc * Yc * Xc
+    flops1 = 9 * 4 * n * n * vol * 2      # 9 slots, complex madd, 1 RHS
+    variants = [
+        ("vpu_f32_rhs1", lambda: apply_vpu(v1), flops1),
+        (f"vpu_f32_rhs{args.nrhs}", lambda: apply_vpu_b(vb),
+         flops1 * args.nrhs),
+        ("mxu_f32_rhs1", lambda: apply_dg(v1[None]), flops1),
+        (f"mxu_f32_rhs{args.nrhs}", lambda: apply_dg(vb),
+         flops1 * args.nrhs),
+        (f"mxu_bf16_rhs{args.nrhs}", lambda: apply_dg_bf(vb),
+         flops1 * args.nrhs),
+    ]
+    results = {}
+    for name, fn, fl in variants:
+        dt = timeit(lambda _=None: fn(), reps=20)
+        gf = fl / dt / 1e9
+        results[name] = round(gf, 1)
+        print(json.dumps({"metric": f"coarse_apply[{name}]",
+                          "value": round(gf, 1), "unit": "GFLOP/s",
+                          "ms": round(dt * 1e3, 3), "n": n,
+                          "dims": list(dims)}), flush=True)
+    best_vpu = max(v for k, v in results.items() if k.startswith("vpu"))
+    best_mxu = max(v for k, v in results.items() if k.startswith("mxu"))
+    print(json.dumps({"metric": "coarse_apply_vpu_over_mxu",
+                      "value": round(best_vpu / best_mxu, 3),
+                      "unit": "ratio", "n": n}))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--smoother-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    # structured gauge: thermalize a quenched Wilson-action field at
+    # this beta instead of using the infinite-temperature random field
+    # (VERDICT r2 #2: a random gauge is MG's worst case; the heatbath
+    # field carries the low-mode structure the algorithm exists for).
+    ap.add_argument("--heatbath", type=float, default=None,
+                    metavar="BETA")
+    ap.add_argument("--hb-sweeps", type=int, default=200)
     args = ap.parse_args()
 
     from tpuqcd import su3
@@ -60,8 +67,21 @@ def main():
     from tpuqcd.utils.packed import pack_gauge, pack_spinor
 
     lat = Lattice(tuple(args.dims))
-    u = apply_boundary_phase_dev(
-        su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
+    if args.heatbath is not None:
+        from tpuqcd.ops.gauge_tools import plaquette
+        from tpuqcd.ops.heatbath import thermalize
+        t0 = time.perf_counter()
+        u = thermalize(jax.random.PRNGKey(0), lat, args.heatbath,
+                       args.hb_sweeps)
+        plaq = float(plaquette(u, lat))
+        print(json.dumps({
+            "metric": "heatbath_plaquette", "value": round(plaq, 6),
+            "beta": args.heatbath, "sweeps": args.hb_sweeps,
+            "seconds": round(time.perf_counter() - t0, 1)}), flush=True)
+        u = apply_boundary_phase_dev(u, lat)
+    else:
+        u = apply_boundary_phase_dev(
+            su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
     u_pk = jax.block_until_ready(pack_gauge(u))
     b = random_spinor_dev(jax.random.PRNGKey(1), lat)  # both parities
     b_pk = jax.block_until_ready(

@@ -138,6 +138,23 @@ def setup_gauge(cfg):
             u_full = jnp.asarray(u_np)
             log.info("loaded gauge %s dims=%s", cfg.gauge.config_file,
                      lat.dims)
+        elif getattr(cfg.gauge, "heatbath_beta", None) is not None:
+            # quenched heatbath source (ops/heatbath.py): thermalize in
+            # the device layout on the accelerator (site-minor complex
+            # is TPU-safe), then form the host full-layout copy.
+            from ..fields import gauge_eo_to_full
+            from ..ops.heatbath import thermalize
+            from ..ops.layout import gauge_from_device
+            lat = Lattice(tuple(cfg.gauge.dims))
+            u0 = jax.device_put(su3.unit_gauge_dev(lat), accel())
+            u_hb = thermalize(jax.random.PRNGKey(cfg.gauge.random_seed),
+                              lat, cfg.gauge.heatbath_beta,
+                              cfg.gauge.heatbath_sweeps, u0=u0)
+            u_hb = jax.device_put(u_hb, cpu)  # full layout is host-only
+            u_full = gauge_eo_to_full(gauge_from_device(u_hb, lat), lat)
+            log.info("heatbath gauge dims=%s beta=%.3f sweeps=%d seed=%d",
+                     lat.dims, cfg.gauge.heatbath_beta,
+                     cfg.gauge.heatbath_sweeps, cfg.gauge.random_seed)
         else:
             lat = Lattice(tuple(cfg.gauge.dims))
             u_full = su3.random_gauge(

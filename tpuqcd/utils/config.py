@@ -41,6 +41,15 @@ class GaugeParams:
     fix: str = ""
     fix_sweeps: int = 200
     fix_tol: float = 1e-9
+    #: quenched heatbath gauge source (ops/heatbath.py): beta != None
+    #: thermalizes a Wilson-action SU(3) field in-process instead of
+    #: reading a file / using a random (infinite-temperature) field.
+    #: The environment has no network access to real ensembles, so this
+    #: is the in-repo source of *structured* gauge fields — the regime
+    #: adaptive MG exists for.  random_seed (or random_seeds ensemble
+    #: members) seeds the Markov chain.
+    heatbath_beta: Optional[float] = None
+    heatbath_sweeps: int = 200
 
 
 @dataclass(frozen=True)
@@ -223,6 +232,15 @@ def validate_config(cfg: "RunConfig") -> None:
                                   or cfg.gauge.random_seeds):
         err("gauge.config_file is the single-config mode; use ONLY "
             "gauge.config_files / gauge.random_seeds for ensembles")
+    if cfg.gauge.heatbath_beta is not None:
+        if cfg.gauge.config_file or cfg.gauge.config_files:
+            err("gauge.heatbath_beta generates the gauge in-process — "
+                "exclusive with config_file(s)")
+        if cfg.gauge.heatbath_beta <= 0:
+            err(f"gauge.heatbath_beta must be > 0, "
+                f"got {cfg.gauge.heatbath_beta}")
+        if cfg.gauge.heatbath_sweeps <= 0:
+            err("gauge.heatbath_sweeps must be > 0")
     if cfg.action.mu_list:
         if (cfg.action.csw != 0.0 or cfg.action.epsbar != 0.0
                 or cfg.mg.enabled or cfg.solver.solver != "cg"):
