@@ -29,17 +29,29 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 
-def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
+def chain_and_time(apply_fn, fields, v, niter=50, reps=5):
+    """Median seconds per apply: one jitted chain of `niter` DEPENDENT
+    applies ending in a scalar probe.  Per-call timing with
+    block_until_ready reads dispatch latency, not kernel time, through
+    the axon remote runtime (bench.py:126-132) — first measurements
+    this way reported a physically impossible 205 TF/s f32."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(f, x0):
+        def body(i, x):
+            return apply_fn(f, x)
+        x = jax.lax.fori_loop(0, niter, body, x0)
+        return jnp.real(jnp.ravel(x)[0].astype(jnp.float32))
+
+    float(chain(fields, v))            # warmup/compile
+    times = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+        float(chain(fields, v))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] / niter
 
 
 def main():
@@ -65,8 +77,12 @@ def main():
                            jnp.float32)
 
     # ---- A: production VPU broadcast-reduce --------------------------
-    apply_vpu = jax.jit(lvl.apply)
-    apply_vpu_b = jax.jit(jax.vmap(lvl.apply))
+    # The level enters the jit as a traced pytree ARGUMENT:
+    # closure-capturing lvl would embed the (tens-of-MB) links into the
+    # HLO as constants, which the remote-compile service rejects with
+    # HTTP 413 (the trap documented at mg/device.py:73-76).
+    apply_vpu = DeviceCoarseLevel.apply
+    apply_vpu_b = jax.vmap(DeviceCoarseLevel.apply, in_axes=(None, 0))
 
     # ---- B: dot_general (site axes batched, contraction over N) -----
     def _cmul_dg(L, w):
@@ -107,26 +123,28 @@ def main():
         return jnp.where(xi == 0, jnp.roll(v, -(Xc - 1), axis=-1),
                          jnp.roll(v, 1, axis=-1))
 
-    apply_dg = jax.jit(lambda w: apply_mxu(links, w))
+    # Links enter as traced jit ARGUMENTS here too (not closure
+    # constants) so the HLO stays small enough for remote compile.
     links_bf = links.astype(jnp.bfloat16)
-    apply_dg_bf = jax.jit(
-        lambda w: apply_mxu(links_bf, w.astype(jnp.bfloat16)))
+
+    def apply_mxu_bf(L, w):
+        return apply_mxu(L, w.astype(jnp.bfloat16))
 
     vol = Tc * Zc * Yc * Xc
     flops1 = 9 * 4 * n * n * vol * 2      # 9 slots, complex madd, 1 RHS
     variants = [
-        ("vpu_f32_rhs1", lambda: apply_vpu(v1), flops1),
-        (f"vpu_f32_rhs{args.nrhs}", lambda: apply_vpu_b(vb),
+        ("vpu_f32_rhs1", apply_vpu, lvl, v1, flops1),
+        (f"vpu_f32_rhs{args.nrhs}", apply_vpu_b, lvl, vb,
          flops1 * args.nrhs),
-        ("mxu_f32_rhs1", lambda: apply_dg(v1[None]), flops1),
-        (f"mxu_f32_rhs{args.nrhs}", lambda: apply_dg(vb),
+        ("mxu_f32_rhs1", apply_mxu, links, v1[None], flops1),
+        (f"mxu_f32_rhs{args.nrhs}", apply_mxu, links, vb,
          flops1 * args.nrhs),
-        (f"mxu_bf16_rhs{args.nrhs}", lambda: apply_dg_bf(vb),
+        (f"mxu_bf16_rhs{args.nrhs}", apply_mxu_bf, links_bf, vb,
          flops1 * args.nrhs),
     ]
     results = {}
-    for name, fn, fl in variants:
-        dt = timeit(lambda _=None: fn(), reps=20)
+    for name, fn, fields, v, fl in variants:
+        dt = chain_and_time(fn, fields, v)
         gf = fl / dt / 1e9
         results[name] = round(gf, 1)
         print(json.dumps({"metric": f"coarse_apply[{name}]",

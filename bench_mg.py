@@ -35,21 +35,74 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 
+def _gauge_cache_path(dims, beta, sweeps, seed=0):
+    import pathlib
+    d = pathlib.Path.home() / ".cache" / "tpuqcd" / "gauges"
+    d.mkdir(parents=True, exist_ok=True)
+    tag = "x".join(map(str, dims))
+    return d / f"hb_b{beta:g}_{tag}_s{sweeps}_k{seed}.npy"
+
+
+def _load_or_thermalize(lat, dims, beta, sweeps, cache=True):
+    """Thermalized gauge in device layout (WITHOUT the fermionic
+    boundary phase), disk-cached so kappa scans and MG-tuning reruns
+    don't redo the O(100 s) heatbath each process."""
+    import numpy as np
+
+    from tpuqcd.ops.gauge_tools import plaquette
+    from tpuqcd.ops.heatbath import thermalize
+    path = _gauge_cache_path(dims, beta, sweeps)
+    if cache and path.exists():
+        u = jnp.asarray(np.load(path))
+        print(json.dumps({
+            "metric": "heatbath_plaquette",
+            "value": round(float(plaquette(u, lat)), 6),
+            "beta": beta, "sweeps": sweeps, "cached": str(path)}),
+            flush=True)
+        return u
+    t0 = time.perf_counter()
+    u = thermalize(jax.random.PRNGKey(0), lat, beta, sweeps)
+    plaq = float(plaquette(u, lat))
+    print(json.dumps({
+        "metric": "heatbath_plaquette", "value": round(plaq, 6),
+        "beta": beta, "sweeps": sweeps,
+        "seconds": round(time.perf_counter() - t0, 1)}), flush=True)
+    if cache:
+        np.save(path, np.asarray(u))
+    return u
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, nargs=4, default=[32, 32, 32, 64])
-    # kappa 0.24 sits near criticality on the random gauge (measured:
-    # plain CG needs ~4k iterations at mu=9e-4) — the regime adaptive MG
-    # exists for.  Physical ensembles reach it at their own kappa_c.
-    ap.add_argument("--kappa", type=float, default=0.24)
+    # On a beta=6.0 heatbath gauge kappa_c ~ 0.157 (literature quenched
+    # Wilson value ~0.1572); the near-critical MG regime is kappa ->
+    # 0.157 at small mu.  On the RANDOM (infinite-temperature) gauge
+    # criticality instead sits near kappa ~ 0.24 — pass it explicitly
+    # for that (worst-case-for-MG) source.
+    ap.add_argument("--kappa", type=float, default=0.157)
     ap.add_argument("--mu", type=float, default=0.0009)
     ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--n-vec", type=int, nargs="+", default=[8, 8])
     ap.add_argument("--setup-iters", type=int, default=40)
     ap.add_argument("--with-cg", action="store_true")
+    ap.add_argument("--cg-only", action="store_true",
+                    help="skip MG entirely (kappa scans of plain CG)")
+    ap.add_argument("--cg-maxiter", type=int, default=20000)
+    ap.add_argument("--nrhs", type=int, default=0,
+                    help="also time the batched multi-RHS production "
+                         "path (N columns through one vmapped stream)")
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--smoother-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    # MG cycle/tuning knobs (DeviceMGParams)
+    ap.add_argument("--smoother-iters", type=int, default=4)
+    ap.add_argument("--coarse-iters", type=int, default=32)
+    ap.add_argument("--restart", type=int, default=8)
+    ap.add_argument("--mu-factor", type=float, default=6.0)
+    ap.add_argument("--inner-tol", type=float, default=1e-5)
+    ap.add_argument("--block0", type=int, nargs=4, default=[4, 4, 4, 4],
+                    help="geometric aggregate for the first coarsening")
     # structured gauge: thermalize a quenched Wilson-action field at
     # this beta instead of using the infinite-temperature random field
     # (VERDICT r2 #2: a random gauge is MG's worst case; the heatbath
@@ -57,6 +110,7 @@ def main():
     ap.add_argument("--heatbath", type=float, default=None,
                     metavar="BETA")
     ap.add_argument("--hb-sweeps", type=int, default=200)
+    ap.add_argument("--no-hb-cache", action="store_true")
     args = ap.parse_args()
 
     from tpuqcd import su3
@@ -68,16 +122,9 @@ def main():
 
     lat = Lattice(tuple(args.dims))
     if args.heatbath is not None:
-        from tpuqcd.ops.gauge_tools import plaquette
-        from tpuqcd.ops.heatbath import thermalize
-        t0 = time.perf_counter()
-        u = thermalize(jax.random.PRNGKey(0), lat, args.heatbath,
-                       args.hb_sweeps)
-        plaq = float(plaquette(u, lat))
-        print(json.dumps({
-            "metric": "heatbath_plaquette", "value": round(plaq, 6),
-            "beta": args.heatbath, "sweeps": args.hb_sweeps,
-            "seconds": round(time.perf_counter() - t0, 1)}), flush=True)
+        u = _load_or_thermalize(lat, args.dims, args.heatbath,
+                                args.hb_sweeps,
+                                cache=not args.no_hb_cache)
         u = apply_boundary_phase_dev(u, lat)
     else:
         u = apply_boundary_phase_dev(
@@ -88,9 +135,18 @@ def main():
         jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])]))
     del u, b  # free the complex copies — HBM is the budget here
 
-    blocks = ((4, 4, 4, 4), (2, 2, 2, 2), (2, 2, 2, 2))[:len(args.n_vec)]
+    if args.cg_only:
+        _run_cg(args, lat, u_pk, b_pk, t_mg_solve=None)
+        return
+
+    blocks = (tuple(args.block0), (2, 2, 2, 2),
+              (2, 2, 2, 2))[:len(args.n_vec)]
     params = DeviceMGParams(n_vec=tuple(args.n_vec), block=blocks,
                             setup_iters=args.setup_iters,
+                            smoother_iters=args.smoother_iters,
+                            coarse_iters=args.coarse_iters,
+                            restart=args.restart,
+                            mu_factor=args.mu_factor,
                             smoother_dtype=args.smoother_dtype)
 
     t0 = time.perf_counter()
@@ -103,38 +159,87 @@ def main():
                                  mg.setup_seconds.items()}}), flush=True)
 
     # warm the solve path (compiles), then time
-    res = solve_tm_mg(mg, b_pk, tol=args.tol, verbose=True)
+    res = solve_tm_mg(mg, b_pk, tol=args.tol, inner_tol=args.inner_tol,
+                      verbose=True)
     t0 = time.perf_counter()
-    res = solve_tm_mg(mg, b_pk, tol=args.tol)
+    res = solve_tm_mg(mg, b_pk, tol=args.tol, inner_tol=args.inner_tol)
     t_solve = time.perf_counter() - t0
     print(json.dumps({
         "metric": "mg_solve_wallclock_1e10",
         "value": round(t_solve, 3), "unit": "s",
         "relres": float(res.relres), "inner_iters": int(res.iters),
-        "dims": args.dims}), flush=True)
+        "dims": args.dims, "kappa": args.kappa}), flush=True)
+
+    t_batch = None
+    if args.nrhs:
+        from tpuqcd.solve import solve_tm_mg_batch
+        bb = jnp.stack([b_pk] * args.nrhs)
+        bb = bb * (1.0 + 0.01 * jnp.arange(args.nrhs).reshape(
+            -1, 1, 1, 1, 1, 1, 1, 1))  # distinct systems, one stream
+        resb = solve_tm_mg_batch(mg, bb, tol=args.tol,
+                                 inner_tol=args.inner_tol)  # warm
+        t0 = time.perf_counter()
+        resb = solve_tm_mg_batch(mg, bb, tol=args.tol,
+                                 inner_tol=args.inner_tol)
+        t_batch = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"mg_solve_batch{args.nrhs}_per_rhs",
+            "value": round(t_batch / args.nrhs, 3), "unit": "s",
+            "total_s": round(t_batch, 3),
+            "relres_max": float(max(resb.relres)),
+            "inner_iters": int(resb.iters)}), flush=True)
 
     if args.with_cg:
-        from tpuqcd.solve import solve_tm
+        _run_cg(args, lat, u_pk, b_pk, t_mg_solve=t_solve,
+                t_mg_batch=t_batch)
 
-        @jax.jit
-        def cg_jit(u_a, b_a):
-            r = solve_tm(u_a, b_a, lat, kappa=args.kappa, mu=args.mu,
-                         tol=args.tol)
-            return r.x, r.relres, r.iters
 
-        x, rel, it = cg_jit(u_pk, b_pk)  # warm/compile
-        jax.block_until_ready(x)
+def _run_cg(args, lat, u_pk, b_pk, t_mg_solve=None, t_mg_batch=None):
+    from tpuqcd.solve import solve_tm
+
+    @jax.jit
+    def cg_jit(u_a, b_a):
+        r = solve_tm(u_a, b_a, lat, kappa=args.kappa, mu=args.mu,
+                     tol=args.tol, maxiter=args.cg_maxiter)
+        return r.x, r.relres, r.iters
+
+    x, rel, it = cg_jit(u_pk, b_pk)  # warm/compile
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    x, rel, it = cg_jit(u_pk, b_pk)
+    jax.block_until_ready(x)
+    t_cg = time.perf_counter() - t0
+    line = {"metric": "cg_solve_wallclock_1e10", "value": round(t_cg, 3),
+            "unit": "s", "relres": float(rel), "iters": int(it),
+            "kappa": args.kappa}
+    if t_mg_solve:
+        line["mg_speedup"] = round(t_cg / t_mg_solve, 2)
+    print(json.dumps(line), flush=True)
+
+    if args.nrhs:
+        from tpuqcd.solve import solve_tm_batch
+        bb = jnp.stack([b_pk] * args.nrhs)
+        bb = bb * (1.0 + 0.01 * jnp.arange(args.nrhs).reshape(
+            -1, 1, 1, 1, 1, 1, 1, 1))
+
+        resb = solve_tm_batch(u_pk, bb, lat, kappa=args.kappa,
+                              mu=args.mu, tol=args.tol,
+                              maxiter=args.cg_maxiter)  # warm
+        jax.block_until_ready(resb.x)
         t0 = time.perf_counter()
-        x, rel, it = cg_jit(u_pk, b_pk)
-        jax.block_until_ready(x)
-        t_cg = time.perf_counter() - t0
-        from types import SimpleNamespace
-        res_cg = SimpleNamespace(relres=rel, iters=it)
-        print(json.dumps({
-            "metric": "cg_solve_wallclock_1e10", "value": round(t_cg, 3),
-            "unit": "s", "relres": float(res_cg.relres),
-            "iters": int(res_cg.iters),
-            "mg_speedup": round(t_cg / t_solve, 2)}), flush=True)
+        resb = solve_tm_batch(u_pk, bb, lat, kappa=args.kappa,
+                              mu=args.mu, tol=args.tol,
+                              maxiter=args.cg_maxiter)
+        jax.block_until_ready(resb.x)
+        t_cgb = time.perf_counter() - t0
+        line = {"metric": f"cg_solve_batch{args.nrhs}_per_rhs",
+                "value": round(t_cgb / args.nrhs, 3), "unit": "s",
+                "total_s": round(t_cgb, 3),
+                "relres_max": float(jnp.max(resb.relres)),
+                "iters": int(jnp.max(resb.iters))}
+        if t_mg_batch:
+            line["mg_speedup"] = round(t_cgb / t_mg_batch, 2)
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

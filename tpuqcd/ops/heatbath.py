@@ -78,14 +78,17 @@ def _mul2(a, b):
 
 def _sample_h0(key, xi, n_rounds: int = 30):
     """Sample h0 in [-1, 1] with density ~ sqrt(1 - h0^2) exp(xi * h0),
-    elementwise over an array xi > 0.
+    elementwise over an array xi > 0.  Returns (h0, accepted-mask).
 
     Hybrid rejection: Kennedy-Pendleton where xi > 1 (acceptance -> 1 at
     strong ordering), Creutz where xi <= 1 (KP's acceptance collapses
-    there).  Fixed n_rounds trip count (XLA-friendly); the miss
-    probability after 30 rounds is < 1e-9 across the whole xi range, and
-    unaccepted sites keep h0 = 1 (the cold value — a no-op update rather
-    than a bias source).
+    there).  Fixed n_rounds trip count (XLA-friendly).  The residual miss
+    probability after 30 rounds is negligible in bulk (typically below
+    1e-9) but can reach ~1e-6 per site-update near the KP/Creutz
+    crossover xi ~ 1 where per-round acceptance bottoms out; callers must
+    therefore treat unaccepted sites as a rejection (keep the old link)
+    rather than substituting any fixed value, which would bias the
+    measure.
     """
     dt = xi.dtype
     tiny = jnp.asarray(1e-12, dt)
@@ -113,9 +116,9 @@ def _sample_h0(key, xi, n_rounds: int = 30):
         return jnp.where(ok, cand, h0), acc | ok
 
     h0 = jnp.ones(xi.shape, dt)
-    h0, _ = jax.lax.fori_loop(0, n_rounds, body,
-                              (h0, jnp.zeros(xi.shape, bool)))
-    return jnp.clip(h0, -1.0, 1.0)
+    h0, acc = jax.lax.fori_loop(0, n_rounds, body,
+                                (h0, jnp.zeros(xi.shape, bool)))
+    return jnp.clip(h0, -1.0, 1.0), acc
 
 
 def _su2_heatbath(key, w_block, beta_eff):
@@ -126,7 +129,7 @@ def _su2_heatbath(key, w_block, beta_eff):
     k = jnp.maximum(k, jnp.asarray(1e-12, dt))
     xi = (2.0 * beta_eff) * k          # exponent coefficient of h0
     kh, kd = jax.random.split(key)
-    h0 = _sample_h0(kh, xi)
+    h0, acc = _sample_h0(kh, xi)
     # uniform direction on S^2, radius sqrt(1 - h0^2)
     n = jax.random.normal(kd, (3,) + h0.shape, dtype=dt)
     nn = jnp.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
@@ -134,7 +137,14 @@ def _su2_heatbath(key, w_block, beta_eff):
     hr = jnp.sqrt(jnp.maximum(1.0 - h0 * h0, 0.0)) / nn
     h = _quat_matrix(h0, n[0] * hr, n[1] * hr, n[2] * hr)
     vdag = _quat_matrix(a0 / k, -a1 / k, -a2 / k, -a3 / k)
-    return _mul2(h, vdag)              # g = h V^dag
+    g = _mul2(h, vdag)                 # g = h V^dag
+    # Rejection-sampling miss: fall back to the identity (link unchanged)
+    # — the genuinely unbiased outcome.  h0 = 1 alone would instead set
+    # the link to maximal staple alignment, a tiny ordering bias.
+    one = jnp.ones_like(g[0])
+    zero = jnp.zeros_like(g[0])
+    return tuple(jnp.where(acc, gi, fi)
+                 for gi, fi in zip(g, (one, zero, zero, one)))
 
 
 def _su2_overrelax(w_block):
@@ -194,6 +204,12 @@ def overrelax_sweep(u_dev: jax.Array, lat: Lattice) -> jax.Array:
     return u_dev
 
 
+def _reunit(u):
+    """Project every link of a device-layout gauge field back onto SU(3)."""
+    return jax.vmap(mat3.project_su3)(
+        u.reshape((8, 3, 3) + u.shape[4:])).reshape(u.shape)
+
+
 @_lru_cache(maxsize=None)
 def _therm_fn(lat: Lattice, n_or: int, reunit_every: int):
     """One compiled thermalization program per (lattice, schedule): key,
@@ -208,11 +224,15 @@ def _therm_fn(lat: Lattice, n_or: int, reunit_every: int):
                 u = overrelax_sweep(u, lat)
             return jax.lax.cond(
                 (i + 1) % reunit_every == 0,
-                lambda x: jax.vmap(mat3.project_su3)(
-                    x.reshape((8, 3, 3) + x.shape[4:])).reshape(x.shape),
-                lambda x: x, u)
+                _reunit, lambda x: x, u)
 
-        return jax.lax.fori_loop(0, n_sweeps, body, u0)
+        u = jax.lax.fori_loop(0, n_sweeps, body, u0)
+        # Always reunitarize at loop exit: the in-loop counter restarts
+        # at 0 on every call, so a chain continued in short segments
+        # (n_sweeps < reunit_every, the measurement/skip pattern) would
+        # otherwise NEVER reunitarize and drift off SU(3) by ~1.3e-6 per
+        # sweep, compounding across segments.
+        return _reunit(u)
 
     return jax.jit(run)
 
