@@ -103,11 +103,13 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     # --repeat N: report the MEDIAN of N timed repetitions plus the
-    # spread.  Round-over-round driver runs of the identical kernel have
-    # measured 872-925 GF/s (~5%); the spread is wall-clock noise on the
-    # remote-TPU tunnel (each rep is a host round-trip through the axon
-    # service) plus chip thermal state, not kernel variance — within one
-    # process the per-rep spread is ~1-3%, and the median is stable.
+    # spread and the raw per-rep seconds.  Each rep is one host
+    # round-trip through the axon remote-TPU tunnel; driver runs show
+    # isolated reps up to ~30% slower than the median (BENCH_r03: one
+    # rep at 633.6 vs median 890.3 GF/s) — single tunnel/service stalls,
+    # not kernel variance (the chained-apply kernel itself repeats
+    # within ~1-3%).  The median absorbs them; the per-rep list is
+    # printed so any outlier is visible in the artifact itself.
     ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--dims", type=int, nargs=4, default=[32, 32, 32, 64])
     args = ap.parse_args()
@@ -132,12 +134,12 @@ def main():
         return jnp.real(jnp.ravel(x)[0])
 
     float(chain(u, psi))  # warmup/compile
-    times = []
+    times_raw = []
     for _ in range(max(1, args.repeat)):
         t0 = time.perf_counter()
         float(chain(u, psi))
-        times.append(time.perf_counter() - t0)
-    times.sort()
+        times_raw.append(time.perf_counter() - t0)
+    times = sorted(times_raw)
     med = times[len(times) // 2]
     site_flops = FLOPS_PER_SITE * lat.half_volume * niter / 1e9
     gflops = site_flops / med
@@ -149,6 +151,7 @@ def main():
         "repeats": len(times),
         "spread_gflops": [round(site_flops / times[-1], 1),
                           round(site_flops / times[0], 1)],
+        "rep_seconds": [round(t, 4) for t in times_raw],  # chronological
     }))
 
 

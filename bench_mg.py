@@ -34,6 +34,18 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 
+# Count distinct XLA program compiles + total compile seconds (the MG
+# setup is ~97% compile, BASELINE.md — this meters it honestly).
+_COMPILES: list = []
+jax.monitoring.register_event_duration_secs_listener(
+    lambda event, dur, **kw: _COMPILES.append((event, dur))
+    if "compile" in event else None)
+
+
+def _compile_stats(since=0):
+    evs = [d for e, d in _COMPILES[since:] if "backend_compile" in e]
+    return {"programs": len(evs), "compile_s": round(sum(evs), 1)}
+
 
 def _gauge_cache_path(dims, beta, sweeps, seed=0):
     import pathlib
@@ -51,9 +63,14 @@ def _load_or_thermalize(lat, dims, beta, sweeps, cache=True):
 
     from tpuqcd.ops.gauge_tools import plaquette
     from tpuqcd.ops.heatbath import thermalize
+    # storage is split re/im f32: complex64 D2H dies UNIMPLEMENTED on
+    # the axon backend (fetch reals; rebuild complex on-device via
+    # lax.complex, the same construction the heatbath itself uses)
+    cplx = jax.jit(lambda r, i: jax.lax.complex(r, i))
     path = _gauge_cache_path(dims, beta, sweeps)
     if cache and path.exists():
-        u = jnp.asarray(np.load(path))
+        ri = np.load(path)
+        u = cplx(jnp.asarray(ri[0]), jnp.asarray(ri[1]))
         print(json.dumps({
             "metric": "heatbath_plaquette",
             "value": round(float(plaquette(u, lat)), 6),
@@ -68,7 +85,9 @@ def _load_or_thermalize(lat, dims, beta, sweeps, cache=True):
         "beta": beta, "sweeps": sweeps,
         "seconds": round(time.perf_counter() - t0, 1)}), flush=True)
     if cache:
-        np.save(path, np.asarray(u))
+        split = jax.jit(lambda x: (jnp.real(x), jnp.imag(x)))
+        re, im = split(u)
+        np.save(path, np.stack([np.asarray(re), np.asarray(im)]))
     return u
 
 
@@ -149,12 +168,14 @@ def main():
                             mu_factor=args.mu_factor,
                             smoother_dtype=args.smoother_dtype)
 
+    n0 = len(_COMPILES)
     t0 = time.perf_counter()
     mg = setup_multigrid(u_pk, lat, kappa=args.kappa, mu=args.mu,
                          params=params, backend=args.backend, verbose=True)
     t_setup = time.perf_counter() - t0
     print(json.dumps({"metric": "mg_setup_seconds", "value":
                       round(t_setup, 2), "unit": "s",
+                      **_compile_stats(n0),
                       "detail": {k: round(v, 2) for k, v in
                                  mg.setup_seconds.items()}}), flush=True)
 

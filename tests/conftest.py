@@ -10,8 +10,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA:CPU-compile-bound (GSPMD mesh programs on a 1-core
+# box take minutes at full opt).  Same tricks as __graft_entry__'s
+# dryrun: drop the backend optimization level (identical convergence,
+# measured there) and persist compiled programs across test runs on
+# this same machine (same-machine AOT reuse is safe; the cross-machine
+# skew caveat in cli/common applies to shipping caches, not re-runs).
+if "xla_backend_optimization_level" not in flags:
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/tpuqcd/xla-tests"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 

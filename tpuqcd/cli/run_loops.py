@@ -168,37 +168,19 @@ def _run_device(cfg, lat, u_pk, solve, keys, keys_cheap, momenta, g5d,
         evecs_solver = jnp.swapaxes(evecs, 1, 2)
         deflate_fn = make_deflate_pk(evecs_solver)
     elif ph.n_deflate > 0:
-        from ..mg.device import DeviceFineCloverLevel, DeviceFineLevel
         from ..solvers.lanczos import lanczos_lowest_pk
-        u32 = u_acc.astype(jnp.float32)
-        # On a mesh the Lanczos operator applies run GSPMD-partitioned
-        # over the sharded gauge (SURVEY.md C27: the reference ran
-        # deflation under full MPI decomposition [U] QKXTM_Deflation);
-        # that needs the XLA fine level — per-device pallas calls do not
-        # partition outside shard_map.
-        backend = "xla" if solve.lmesh is not None else cfg.solver.backend
-        if csw != 0.0:
-            from ..ops.clover import clover_blocks
-            from ..utils.packed import pack_clover, unpack_gauge
-            a = clover_blocks(unpack_gauge(u32), lat, ka, csw)
-            cl_pk = jnp.stack([pack_clover(a[0]), pack_clover(a[1])])
-            tb = -1 if cfg.gauge.antiperiodic_t else +1
-            lv_p = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
-                                         csw=csw, flavor=+1,
-                                         backend=backend,
-                                         t_boundary=tb)
-            lv_m = DeviceFineCloverLevel(lat, u32, cl_pk, ka, mu_,
-                                         csw=csw, flavor=-1,
-                                         backend=backend,
-                                         t_boundary=tb)
-        else:
-            tb = -1 if cfg.gauge.antiperiodic_t else +1
-            lv_p = DeviceFineLevel(lat, u32, ka, mu_, +1,
-                                   backend=backend,
-                                   t_boundary=tb)
-            lv_m = DeviceFineLevel(lat, u32, ka, mu_, -1,
-                                   backend=backend,
-                                   t_boundary=tb)
+        from .common import _mg_fine_level
+        # On a mesh the Lanczos operator applies run through the
+        # per-shard kernel fine level (mg/shard.ShardedFineLevel: fused
+        # Pallas/XLA kernels on the local volume under shard_map, halos
+        # via the interior/exterior overlap engine) — the same operator
+        # the sharded MG fine level uses, so multi-chip deflated loops
+        # keep the fast kernel in their hottest loop (SURVEY.md C27: the
+        # reference ran deflation under full MPI decomposition [U]
+        # QKXTM_Deflation; VERDICT r3 #8).  Single-device keeps the
+        # DeviceFineLevel on cfg.solver.backend.
+        lv_p = _mg_fine_level(cfg, lat, u_acc, +1, lmesh=solve.lmesh)
+        lv_m = _mg_fine_level(cfg, lat, u_acc, -1, lmesh=solve.lmesh)
         g5mg = jnp.asarray(g5d, jnp.float32).reshape(1, 1, 4, 1, 1, 1, 1)
 
         @jax.jit

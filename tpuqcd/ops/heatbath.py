@@ -250,14 +250,17 @@ def thermalize(key, lat: Lattice, beta: float, n_sweeps: int,
 
 
 def generate_ensemble(key, lat: Lattice, beta: float, n_cfg: int,
-                      n_therm: int = 200, n_skip: int = 20, n_or: int = 3):
+                      n_therm: int = 200, n_skip: int = 20, n_or: int = 3,
+                      u0: jax.Array | None = None):
     """Yield n_cfg decorrelated gauge configs (device layout).
 
-    Thermalizes from cold for n_therm compound sweeps, then yields a
-    config every n_skip sweeps.  Each yielded array is safe to keep (the
-    generator does not alias it).
+    Thermalizes from u0 (default cold) for n_therm compound sweeps, then
+    yields a config every n_skip sweeps — ONE Markov chain with skip
+    decorrelation, not per-member cold restarts.  Each yielded array is
+    safe to keep (the generator does not alias it).  Pass u0 already on
+    the target device to pin the whole chain there.
     """
-    u = thermalize(key, lat, beta, n_therm, n_or=n_or)
+    u = thermalize(key, lat, beta, n_therm, n_or=n_or, u0=u0)
     for c in range(n_cfg):
         yield u
         u = thermalize(jax.random.fold_in(key, 10_000 + c), lat, beta,

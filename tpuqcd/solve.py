@@ -98,7 +98,8 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
              inner_tol: float = 1e-5, solver: str = "cg",
              sloppy_dtype=jnp.float32, backend: str = "pallas",
              interpret: bool = False, csw: float = 0.0,
-             clover=None, t_boundary: int = -1) -> SolveResult:
+             clover=None, t_boundary: int = -1,
+             hp_gauge: str = "float64") -> SolveResult:
     """Solve the full (two-parity) twisted-mass(-clover) system M x = b.
 
     u_pk: packed gauge [4,2,3,3,2,T,Z,S] (any float dtype; cast as needed).
@@ -109,8 +110,16 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     construction across solves (built here otherwise).
     Residuals are certified with the f64 packed operator (SURVEY.md §8.3
     hard part #1); tol is on the *even-odd preconditioned* system.
+    hp_gauge="float32" keeps the certification operator's gauge at f32
+    (spinors stay f64): when the gauge is NATIVELY f32 this is exact —
+    f32 entries promote exactly into the f64 hop products (same
+    reasoning as mg/dsolve.solve_certified) — and it halves the gauge
+    HBM, which is what makes the 48^3x96 flagship volume fit one v5e.
+    Do NOT use it to truncate a genuinely f64 gauge (ADVICE r3: that
+    floors the certified residual at the f32 rounding, ~1e-7).
     """
     hp = jnp.float64
+    hp_g = jnp.float64 if hp_gauge == "float64" else jnp.float32
     if csw != 0.0:
         from .operators import PackedTMCloverOperatorPC
         if clover is None:
@@ -125,7 +134,7 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
         u_s = jax.tree_util.tree_map(
             lambda a: a.astype(sloppy_dtype), (u_pk, *clover))
         u_hp = jax.tree_util.tree_map(
-            lambda a: a.astype(hp), (u_pk, *clover))
+            lambda a: a.astype(hp_g), (u_pk, *clover))
     else:
         pc_s = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
                                   backend=backend, interpret=interpret,
@@ -133,7 +142,7 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
         pc_hp = PackedTMOperatorPC(lat, kappa=kappa, mu=mu, flavor=flavor,
                                    backend="xla")
         u_s = u_pk.astype(sloppy_dtype)
-        u_hp = u_pk.astype(hp)
+        u_hp = u_pk.astype(hp_g)
     b_hp = b_pk.astype(hp)
 
     bhat = pc_hp.prepare(u_hp, b_hp)
@@ -376,10 +385,16 @@ class ShardedEigCGSolver(EigCGSolver):
                                         flavor=flavor, backend=backend,
                                         overlap=overlap)
         self.pc_hp = _dc.replace(self.pc32, backend="xla", overlap=True)
-        u_ext = self.pc32.extend_gauge(
-            lmesh.shard_gauge(u_pk.astype(jnp.float32)))
-        self.u32 = u_ext
-        self.u_hp = u_ext.astype(jnp.float64)
+        # Shard the gauge at its NATIVE dtype and only then derive the
+        # f32 sloppy copy: truncating to f32 before building u_hp would
+        # floor the f64 defect-correction/certification residual at the
+        # f32 rounding of the gauge (~1e-7) even when tol is tighter
+        # (matches the single-chip EigCGSolver, which keeps the
+        # full-precision gauge for the certification operator).
+        u_ext_hp = self.pc32.extend_gauge(
+            lmesh.shard_gauge(u_pk)).astype(jnp.float64)
+        self.u32 = u_ext_hp.astype(jnp.float32)
+        self.u_hp = u_ext_hp
         self._init_jits()
 
 

@@ -50,6 +50,16 @@ class GaugeParams:
     #: members) seeds the Markov chain.
     heatbath_beta: Optional[float] = None
     heatbath_sweeps: int = 200
+    #: heatbath ENSEMBLE mode (n_cfg > 1): members come from ONE Markov
+    #: chain — thermalize heatbath_sweeps once, then take a member every
+    #: heatbath_skip compound sweeps (ops/heatbath.generate_ensemble) —
+    #: not per-member cold restarts.  Each member is written to ILDG
+    #: under heatbath_dir (default: '<output dir>/ensemble') and re-read
+    #: through the LIME reader with a plaquette check, so the ensemble
+    #: path exercises the full C28 write/read round-trip in production.
+    heatbath_n_cfg: int = 1
+    heatbath_skip: int = 20
+    heatbath_dir: str = ""
 
 
 @dataclass(frozen=True)
@@ -241,6 +251,14 @@ def validate_config(cfg: "RunConfig") -> None:
                 f"got {cfg.gauge.heatbath_beta}")
         if cfg.gauge.heatbath_sweeps <= 0:
             err("gauge.heatbath_sweeps must be > 0")
+        if cfg.gauge.heatbath_n_cfg < 1:
+            err("gauge.heatbath_n_cfg must be >= 1")
+        if cfg.gauge.heatbath_n_cfg > 1:
+            if cfg.gauge.heatbath_skip <= 0:
+                err("gauge.heatbath_skip must be > 0 in ensemble mode")
+            if cfg.gauge.random_seeds:
+                err("gauge.heatbath_n_cfg ensemble (one Markov chain) is "
+                    "exclusive with gauge.random_seeds (per-seed fields)")
     if cfg.action.mu_list:
         if (cfg.action.csw != 0.0 or cfg.action.epsbar != 0.0
                 or cfg.mg.enabled or cfg.solver.solver != "cg"):
