@@ -115,6 +115,8 @@ def main():
     ap.add_argument("--smoother-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     # MG cycle/tuning knobs (DeviceMGParams)
+    ap.add_argument("--setup-solver", default="bicgstab",
+                    choices=["bicgstab", "cgne"])
     ap.add_argument("--smoother-iters", type=int, default=4)
     ap.add_argument("--coarse-iters", type=int, default=32)
     ap.add_argument("--restart", type=int, default=8)
@@ -166,7 +168,8 @@ def main():
                             coarse_iters=args.coarse_iters,
                             restart=args.restart,
                             mu_factor=args.mu_factor,
-                            smoother_dtype=args.smoother_dtype)
+                            smoother_dtype=args.smoother_dtype,
+                            setup_solver=args.setup_solver)
 
     n0 = len(_COMPILES)
     t0 = time.perf_counter()

@@ -54,6 +54,14 @@ class DeviceMGParams:
     #: (the reference's half-precision smoother); residuals/corrections
     #: stay f32 and flexible GCR absorbs the preconditioner perturbation
     smoother_dtype: str = "float32"
+    #: null-vector setup solver on the FINE level: "bicgstab" (fixed-
+    #: iteration BiCGStab on M — the historical default) or "cgne"
+    #: (fixed-iteration CG on the normal operator M^dag M via the
+    #: g5-flavor trick M^dag = g5 M_{-flavor} g5 — monotone inverse
+    #: iteration toward the smallest singular vectors, which BiCGStab
+    #: on the nearly singular M fails to deliver near kappa_c).
+    #: Coarse-level setup always uses BiCGStab (no cheap dagger there).
+    setup_solver: str = "bicgstab"
 
 
 class DeviceMG:
@@ -76,8 +84,9 @@ class DeviceMG:
         for depth, nv in enumerate(params.n_vec):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
-            nulls = self._gen_null_vectors(level, nv, params.setup_iters,
-                                           sub)
+            nulls = self._gen_null_vectors(
+                level, nv, params.setup_iters, sub,
+                setup_solver=params.setup_solver)
             self.setup_seconds[f"nulls{depth}"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             if depth == 0:
@@ -105,19 +114,42 @@ class DeviceMG:
                             else None)
 
     @staticmethod
-    def _gen_null_vectors(level, n_vec, iters, key):
+    def _gen_null_vectors(level, n_vec, iters, key,
+                          setup_solver="bicgstab"):
         # level passes through jit as a pytree ARGUMENT (closure capture
         # would embed the gauge/links as HLO constants; the remote
         # compiler rejects production sizes)
-        @partial(jax.jit, static_argnums=2)
-        def gen(lvl, v, it):
-            x = bicgstab_fixed_pk(partial(_apply_jit, lvl), v, it)
-            return x / jnp.sqrt(jnp.maximum(pk.norm2(x), 1e-30))
+        use_ne = setup_solver == "cgne" and hasattr(level, "flavor")
+        if use_ne:
+            from ..solvers.krylov_pk import cg_fixed_pk
+            level_m = dataclasses.replace(level, flavor=-level.flavor)
+
+            @partial(jax.jit, static_argnums=3)
+            def gen(lvl, lvl_m, v, it):
+                def g5(w):
+                    from ..operators import _G5_DIAG
+                    return w * jnp.asarray(_G5_DIAG, w.dtype).reshape(
+                        1, 1, 4, 1, 1, 1, 1)
+
+                def mv(w):      # M^dag M w = g5 M_- g5 (M_+ w)
+                    return g5(_apply_jit(lvl_m, g5(_apply_jit(lvl, w))))
+
+                x = cg_fixed_pk(mv, v, it)
+                return x / jnp.sqrt(jnp.maximum(pk.norm2(x), 1e-30))
+
+            args = (level, level_m)
+        else:
+            @partial(jax.jit, static_argnums=2)
+            def gen(lvl, v, it):
+                x = bicgstab_fixed_pk(partial(_apply_jit, lvl), v, it)
+                return x / jnp.sqrt(jnp.maximum(pk.norm2(x), 1e-30))
+
+            args = (level,)
 
         vecs = []
         for _ in range(n_vec):
             key, sub = jax.random.split(key)
-            vecs.append(gen(level, level.random_field(sub), iters))
+            vecs.append(gen(*args, level.random_field(sub), iters))
         return jnp.stack(vecs)
 
     # --- solve cycle ------------------------------------------------------

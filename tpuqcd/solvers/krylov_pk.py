@@ -36,6 +36,30 @@ def mr_smoother_pk(matvec: Callable, b: jax.Array, iters: int = 4,
     return x
 
 
+def cg_fixed_pk(matvec: Callable, b: jax.Array, iters: int) -> jax.Array:
+    """Fixed-iteration CG from x0 = 0 on an SPD (normal) operator —
+    MG null-vector setup by inverse iteration on M^dag M (the
+    reference's CG-NE setup mode for twisted mass [U] multigrid.cpp;
+    near kappa_c BiCGStab on the nearly singular non-Hermitian M
+    stagnates erratically, while CG on the normal operator enriches
+    monotonically toward the smallest singular vectors)."""
+
+    def body(_, st):
+        x, r, p, rsq = st
+        ap = matvec(p)
+        den = jnp.maximum(pk.cdot(p, ap)[0], 1e-30)
+        al = rsq / den
+        x = pk.caxpy(al, 0.0, p, x)
+        r = pk.caxpy(-al, 0.0, ap, r)
+        rsq_new = pk.norm2(r)
+        beta = rsq_new / jnp.maximum(rsq, 1e-30)
+        p = pk.caxpy(beta, 0.0, p, r)
+        return (x, r, p, rsq_new)
+
+    st = (jnp.zeros_like(b), b, b, pk.norm2(b))
+    return jax.lax.fori_loop(0, iters, body, st)[0]
+
+
 def _gcr_cycle(matvec: Callable, precond: Callable, x, r, m: int):
     """One flexible-GCR restart cycle of m iterations, fully traced with
     lax loops and stacked (Z, V) direction buffers — the graph contains
