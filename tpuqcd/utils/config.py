@@ -114,6 +114,10 @@ class MGParamsCfg:
     coarse_tol: float = 0.25
     coarse_maxiter: int = 32
     mu_factor: float = 6.0
+    #: fine-level null-vector setup: "bicgstab" or "cgne" (CG on the
+    #: normal operator via the g5-flavor trick — the near-kappa_c
+    #: choice; see mg/dsolve.DeviceMGParams.setup_solver)
+    setup_solver: str = "bicgstab"
     vec_outfile: Optional[str] = None    # null-vector dump (checkpoint)
     vec_infile: Optional[str] = None
 
