@@ -421,9 +421,11 @@ class _LinvMixin:
 
     def gram_linv(self) -> jax.Array:
         """Linv from the raw vectors: per (aggregate, chirality) Gram ->
-        unrolled complex Cholesky -> triangular inverse (on device)."""
-        cols = [self._wdag(self.v_pk[ll]) for ll in range(self.n_vec)]
-        G = jnp.stack(cols, axis=3)              # [2, 2chir, n_k, n_l, ...]
+        unrolled complex Cholesky -> triangular inverse (on device).
+        The Gram columns run under lax.map (one _wdag instance in the
+        graph instead of n_vec — compile-time discipline, see _wdag)."""
+        cols = jax.lax.map(self._wdag, self.v_pk)
+        G = jnp.moveaxis(cols, 0, 3)             # [2, 2chir, n_k, n_l, ...]
         linvs = []
         for c in range(2):
             L = pk.cholesky_pk(G[:, c], self.n_vec)
@@ -487,26 +489,31 @@ class DeviceFineTransfer(_LinvMixin):
                 self.lat.Lx // bx)
 
     def _wdag(self, r: jax.Array) -> jax.Array:
-        # per-vector accumulation keeps peak intermediates one-field-sized
-        # (a single [n, 2, 2par, 4, 3, T, Z, S] product would be n x the
-        # fine field in HBM if XLA declined to fuse it)
+        # lax.map over the null-vector axis: ONE body instance in the
+        # graph regardless of n_vec (an unrolled Python loop made the
+        # probing/Linv programs' compile time superlinear in n_vec —
+        # measured 761 s at n_vec=16 vs ~25 s at 8), and per-vector
+        # sequencing keeps peak intermediates one-field-sized.
         rr, ri = r[0], r[1]
         bt, bz, by, bx = self.block
         Tc, Zc, Yc, Xc = self.dims_c
         S = rr.shape[-1]
-        cols = []
-        for k in range(self.n_vec):
-            qr, qi = self.v_pk[k, 0], self.v_pk[k, 1]  # [2par, 4, 3, T, Z, S]
-            pr = (qr * rr + qi * ri).sum(axis=(0, 2))  # conj(V) r -> [4,T,Z,S]
+
+        def one(q):
+            qr, qi = q[0], q[1]                 # [2par, 4, 3, T, Z, S]
+            pr = (qr * rr + qi * ri).sum(axis=(0, 2))  # conj(V) r
             pi = (qr * ri - qi * rr).sum(axis=(0, 2))
-            x = jnp.stack([pr, pi])                    # [2, 4, T, Z, S]
+            x = jnp.stack([pr, pi])             # [2, 4, T, Z, S]
             x = jnp.stack(
                 [sum(x[:, s] for s in _CHI0_SPINS),
                  sum(x[:, s] for s in _CHI1_SPINS)], axis=1)
             x = x.reshape(2, 2, Tc, bt, Zc, bz, S).sum(axis=(3, 5))
-            x = x.reshape(2, 2, Tc, Zc, Yc, by, Xc, bx // 2).sum(axis=(5, 7))
-            cols.append(x.reshape(2, 2, Tc, Zc, Yc * Xc))
-        return jnp.stack(cols, axis=2)          # [2, 2chir, n, Tc, Zc, Sc]
+            x = x.reshape(2, 2, Tc, Zc, Yc, by, Xc, bx // 2).sum(
+                axis=(5, 7))
+            return x.reshape(2, 2, Tc, Zc, Yc * Xc)
+
+        cols = jax.lax.map(one, self.v_pk)      # [n, 2, 2chir, ...]
+        return jnp.moveaxis(cols, 0, 2)         # [2, 2chir, n, Tc, Zc, Sc]
 
     def _vmul(self, tmp: jax.Array) -> jax.Array:
         """tmp [2, 2chir, n, Tc, Zc, Sc] -> fine field sum_k V_k tmp_k."""
@@ -520,15 +527,23 @@ class DeviceFineTransfer(_LinvMixin):
                              (2, 2, n, Tc, Zc, Yc, by, Xc, bx // 2))
         t = t.reshape(2, 2, n, Tc, Zc, S)
         t = jnp.take(t, jnp.asarray(_CHI_OF_SPIN), axis=1)
-        # t [2ri, 4spin, n, Tc, Zc, S]; accumulate over k (see _wdag note)
-        out_r = out_i = 0.0
-        for k in range(n):
+        # t [2ri, 4spin, n, Tc, Zc, S]; accumulate over k with a scan —
+        # one body instance in the graph (see the _wdag note) and
+        # one-field-sized peak intermediates
+        tk = jnp.moveaxis(t, 2, 0)              # [n, 2ri, 4, Tc, Zc, S]
+
+        def body(carry, qt):
+            out_r, out_i = carry
+            vq, tl = qt
+            vq = vq.reshape(2, 2, 4, 3, Tc, bt, Zc, bz, S)
             # broadcast axes [2par, 4spin, 3col, Tc, bt, Zc, bz, S]
-            wr = t[0, :, k][None, :, None, :, None, :, None, :]
-            wi = t[1, :, k][None, :, None, :, None, :, None, :]
-            vq = self.v_pk[k].reshape(2, 2, 4, 3, Tc, bt, Zc, bz, S)
-            out_r = out_r + (vq[0] * wr - vq[1] * wi)
-            out_i = out_i + (vq[0] * wi + vq[1] * wr)
+            wr = tl[0][None, :, None, :, None, :, None, :]
+            wi = tl[1][None, :, None, :, None, :, None, :]
+            return (out_r + (vq[0] * wr - vq[1] * wi),
+                    out_i + (vq[0] * wi + vq[1] * wr)), None
+
+        z = jnp.zeros((2, 4, 3, Tc, bt, Zc, bz, S), t.dtype)
+        (out_r, out_i), _ = jax.lax.scan(body, (z, z), (self.v_pk, tk))
         out = jnp.stack([out_r, out_i])  # [2, 2par, 4, 3, Tc, bt, Zc, bz, S]
         return out.reshape(2, 2, 4, 3, T, Z, S)
 
