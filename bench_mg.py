@@ -32,6 +32,18 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache (same policy as cli/common.parse_args):
+# MG setup is ~80-97% compile; cross-process reuse is free wallclock.
+if (jax.devices()[0].platform != "cpu"
+        and not os.environ.get("TPUQCD_NO_COMPILE_CACHE")
+        and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+    _cd = os.path.expanduser("~/.cache/tpuqcd/xla")
+    try:
+        os.makedirs(_cd, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cd)
+    except Exception:
+        pass
+
 import jax.numpy as jnp  # noqa: E402
 
 # Count distinct XLA program compiles + total compile seconds (the MG

@@ -4,7 +4,8 @@
 
 Runs the production Dslash at the flagship volume and ONE certified
 twisted-mass solve through solve_tm with hp_gauge="float32" (the
-f64-gauge copy alone would be 12 GB; the native-f32 gauge promotes
+f64-gauge copy alone would be 6.1 GB on top of the 3.1 GB f32 gauge
+and the solver workspace; the native-f32 gauge promotes
 exactly into the f64 hop products, so certification is exact for the
 system actually solved).  Prints JSON lines: dslash GF/s (via bench.py
 conventions), solve wallclock/iters/relres, and the device's peak HBM.
@@ -27,6 +28,18 @@ if "axon" in os.environ.get("PYTHONPATH", ""):
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache (same policy as cli/common.parse_args):
+# MG setup is ~80-97% compile; cross-process reuse is free wallclock.
+if (jax.devices()[0].platform != "cpu"
+        and not os.environ.get("TPUQCD_NO_COMPILE_CACHE")
+        and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+    _cd = os.path.expanduser("~/.cache/tpuqcd/xla")
+    try:
+        os.makedirs(_cd, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cd)
+    except Exception:
+        pass
 
 import jax.numpy as jnp  # noqa: E402
 

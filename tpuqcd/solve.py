@@ -113,8 +113,9 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     hp_gauge="float32" keeps the certification operator's gauge at f32
     (spinors stay f64): when the gauge is NATIVELY f32 this is exact —
     f32 entries promote exactly into the f64 hop products (same
-    reasoning as mg/dsolve.solve_certified) — and it halves the gauge
-    HBM, which is what makes the 48^3x96 flagship volume fit one v5e.
+    reasoning as mg/dsolve.solve_certified) — and it saves the 6.1 GB
+    f64 gauge copy, which is what makes the 48^3x96 flagship volume
+    fit one v5e comfortably.
     Do NOT use it to truncate a genuinely f64 gauge (ADVICE r3: that
     floors the certified residual at the f32 rounding, ~1e-7).
     """
