@@ -60,8 +60,11 @@ def _rand_full(key):
                            jax.random.normal(ki, shape, jnp.float32))
 
 
-def test_cholesky_pk_vs_numpy(rng):
-    n, sites = 5, 7
+@pytest.mark.parametrize("n", [5, 12])
+def test_cholesky_pk_vs_numpy(rng, n):
+    # n=5 covers the unrolled path, n=12 the masked fori_loop path
+    # (pkalg switches at n > 8)
+    sites = 7
     a = rng.normal(size=(sites, n, n)) + 1j * rng.normal(size=(sites, n, n))
     g = np.einsum("sij,skj->sik", a, a.conj()) + 3 * np.eye(n)
     g_pk = jnp.asarray(np.stack([g.real, g.imag]).transpose(0, 2, 3, 1),
