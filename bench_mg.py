@@ -126,6 +126,8 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--smoother-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--coarse-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     # MG cycle/tuning knobs (DeviceMGParams)
     ap.add_argument("--setup-solver", default="bicgstab",
                     choices=["bicgstab", "cgne"])
@@ -144,6 +146,9 @@ def main():
                     metavar="BETA")
     ap.add_argument("--hb-sweeps", type=int, default=200)
     ap.add_argument("--no-hb-cache", action="store_true")
+    ap.add_argument("--profile-cycle", action="store_true",
+                    help="time V-cycle phases (fine/coarse applies, "
+                         "vcycle, GCR cycle) instead of solving")
     args = ap.parse_args()
 
     from tpuqcd import su3
@@ -181,7 +186,8 @@ def main():
                             restart=args.restart,
                             mu_factor=args.mu_factor,
                             smoother_dtype=args.smoother_dtype,
-                            setup_solver=args.setup_solver)
+                            setup_solver=args.setup_solver,
+                            coarse_dtype=args.coarse_dtype)
 
     n0 = len(_COMPILES)
     t0 = time.perf_counter()
@@ -193,6 +199,10 @@ def main():
                       **_compile_stats(n0),
                       "detail": {k: round(v, 2) for k, v in
                                  mg.setup_seconds.items()}}), flush=True)
+
+    if args.profile_cycle:
+        _profile_cycle(mg, b_pk)
+        return
 
     # warm the solve path (compiles), then time
     res = solve_tm_mg(mg, b_pk, tol=args.tol, inner_tol=args.inner_tol,
@@ -228,6 +238,65 @@ def main():
     if args.with_cg:
         _run_cg(args, lat, u_pk, b_pk, t_mg_solve=t_solve,
                 t_mg_batch=t_batch)
+
+
+
+
+def _profile_cycle(mg, b_pk):
+    """Phase timings of the MG cycle via fused chains + scalar probes
+    (same technique as bench.py/bench_coarse — per-call timing lies
+    through the remote runtime)."""
+    from functools import partial as _part
+
+    from tpuqcd.solvers.krylov_pk import _gcr_cycle
+    from tpuqcd.utils import pkalg as pk
+
+    state = mg.state
+    levels = state[0]
+    b = jnp.swapaxes(b_pk.astype(jnp.float32), 0, 1)
+
+    def chain_time(fn, x0, n=20, reps=3):
+        @jax.jit
+        def chain(st, v):
+            def body(i, x):
+                return fn(st, x)
+            x = jax.lax.fori_loop(0, n, body, v)
+            return jnp.real(jnp.ravel(x)[0].astype(jnp.float32))
+
+        float(chain(state, x0))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(state, x0))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] / n
+
+    out = {}
+    out["fine_apply_ms"] = chain_time(
+        lambda st, v: st[0][0].apply(v), b) * 1e3
+    if state[2] is not None:
+        out["fine_apply_bf16_ms"] = chain_time(
+            lambda st, v: st[2].apply(v.astype(jnp.bfloat16)).astype(
+                jnp.float32), b) * 1e3
+    for li, lvl in enumerate(levels[1:], 1):
+        vc = lvl.random_field(jax.random.PRNGKey(li))
+        out[f"coarse{li}_apply_ms"] = chain_time(
+            lambda st, v, li=li: st[0][li].apply(v), vc) * 1e3
+    out["vcycle_ms"] = chain_time(
+        lambda st, v: mg._vcycle(st, 0, v), b, n=5) * 1e3
+    p = mg.params
+
+    def gcr1(st, v):
+        x, r = _gcr_cycle(lambda w: st[0][0].apply(w),
+                          lambda w: mg._vcycle(st, 0, w), jnp.zeros_like(v),
+                          v, p.restart)
+        return r
+
+    out["gcr_cycle_ms"] = chain_time(gcr1, b, n=3) * 1e3
+    out["gcr_per_iter_ms"] = out["gcr_cycle_ms"] / p.restart
+    print(json.dumps({"metric": "mg_cycle_profile",
+                      **{k: round(v, 2) for k, v in out.items()},
+                      "restart": p.restart}), flush=True)
 
 
 def _run_cg(args, lat, u_pk, b_pk, t_mg_solve=None, t_mg_batch=None):

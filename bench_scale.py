@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--mu", type=float, default=0.009)
     ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--maxiter", type=int, default=8000)
+    ap.add_argument("--sloppy", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="sloppy dtype for the 48^3 solve (f32 sloppy "
+                         "measured OOM: XLA bounds the program at "
+                         "18.1 GiB vs the 15.75 GiB HBM; bf16 sloppy "
+                         "fields fit)")
+    ap.add_argument("--inner-tol", type=float, default=1e-3)
     ap.add_argument("--skip-solve", action="store_true")
     args = ap.parse_args()
 
@@ -120,10 +127,13 @@ def main():
     b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
     del b
 
+    sdt = jnp.bfloat16 if args.sloppy == "bfloat16" else jnp.float32
+
     @jax.jit
     def solve_jit(u_a, b_a):
         r = solve_tm(u_a, b_a, lat, kappa=args.kappa, mu=args.mu,
                      tol=args.tol, maxiter=args.maxiter,
+                     sloppy_dtype=sdt, inner_tol=args.inner_tol,
                      hp_gauge="float32")
         return r.relres, r.iters
 

@@ -62,6 +62,13 @@ class DeviceMGParams:
     #: on the nearly singular M fails to deliver near kappa_c).
     #: Coarse-level setup always uses BiCGStab (no cheap dagger there).
     setup_solver: str = "bicgstab"
+    #: "bfloat16" stores the COARSE-level links in bf16 (fields and
+    #: accumulation stay f32): the coarsest GCR dominates the V-cycle
+    #: (24^3 profile: 16 x 4.1 ms coarse applies = 57% of the 116 ms
+    #: cycle) and its applies are links-bandwidth-bound, so halving
+    #: link bytes halves the dominant term; flexible GCR absorbs the
+    #: preconditioner perturbation like the bf16 smoother.
+    coarse_dtype: str = "float32"
 
 
 class DeviceMG:
@@ -109,6 +116,11 @@ class DeviceMG:
         if params.mu_factor != 1.0 and fine.mu != 0.0:
             delta = 2.0 * fine.kappa * fine.mu * (params.mu_factor - 1.0)
             self.levels[-1] = self.levels[-1].boosted(delta)
+        if params.coarse_dtype == "bfloat16":
+            self.levels[1:] = [
+                dataclasses.replace(
+                    lvl, links=lvl.links.astype(jnp.bfloat16))
+                for lvl in self.levels[1:]]
         self.sloppy_fine = (fine.sloppy(jnp.bfloat16)
                             if params.smoother_dtype == "bfloat16"
                             else None)
