@@ -122,35 +122,80 @@ def main():
     if args.skip_solve:
         return
 
-    # --- one certified TM solve at the flagship volume
+    # --- one certified TM solve at the flagship volume.
+    # STAGED defect correction (host refine loop, one jit per phase,
+    # like mg/dsolve.solve_certified): the monolithic solve_tm jit holds
+    # every phase's buffers in one program and XLA bounds it at
+    # 18.1 GiB (f32 sloppy) / 19.0 GiB (bf16) against 15.75 GiB HBM —
+    # both compiler reports recorded in .bench_logs.  Staged, the
+    # persistent set is u_pk(f32 3.05G) + u_sloppy + three f64 eo
+    # fields, ~9.5 GiB peak.
+    from tpuqcd.operators import PackedTMOperatorPC
+    from tpuqcd.solvers.cg import _cg_cycle
+    from tpuqcd.solvers.reductions import norm2
+
     b = random_spinor_dev(jax.random.PRNGKey(2), lat)
     b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
     del b
-
     sdt = jnp.bfloat16 if args.sloppy == "bfloat16" else jnp.float32
+    pc_s = PackedTMOperatorPC(lat, kappa=args.kappa, mu=args.mu)
+    pc_hp = PackedTMOperatorPC(lat, kappa=args.kappa, mu=args.mu,
+                               backend="xla")
+    u_s = u_pk.astype(sdt)
 
     @jax.jit
-    def solve_jit(u_a, b_a):
-        r = solve_tm(u_a, b_a, lat, kappa=args.kappa, mu=args.mu,
-                     tol=args.tol, maxiter=args.maxiter,
-                     sloppy_dtype=sdt, inner_tol=args.inner_tol,
-                     hp_gauge="float32")
-        return r.relres, r.iters
+    def prepare(u_f, b_f):
+        return pc_hp.prepare(u_f, b_f.astype(jnp.float64))
+
+    @jax.jit
+    def resid(u_f, x64, bhat):
+        r = bhat - pc_hp.apply(u_f, x64)
+        return r, norm2(r)
+
+    inner_cap = 2000
+
+    @jax.jit
+    def inner(u_sl, r64):
+        r_s = r64.astype(sdt)
+        bn = pc_s.apply_dagger(u_sl, r_s)
+        dx, _, k = _cg_cycle(
+            lambda x: pc_s.apply_dagger(u_sl, pc_s.apply(u_sl, x)),
+            bn, jnp.zeros_like(bn),
+            (args.inner_tol * args.inner_tol) * norm2(bn), inner_cap)
+        return dx.astype(jnp.float32), k
+
+    @jax.jit
+    def update(x64, dx):
+        return x64 + dx.astype(jnp.float64)
+
+    def staged_solve():
+        bhat = prepare(u_pk, b_pk)
+        bsq = float(norm2(bhat))
+        x = jnp.zeros_like(bhat)
+        total = 0
+        rel = 1.0
+        for _ in range(40):
+            r, rsq = resid(u_pk, x, bhat)
+            rel = (float(rsq) / bsq) ** 0.5
+            if rel <= args.tol or total >= args.maxiter:
+                break
+            dx, k = inner(u_s, r)
+            total += 2 * int(k) + 1
+            x = update(x, dx)
+        return rel, total
 
     t0 = time.perf_counter()
-    rel, it = solve_jit(u_pk, b_pk)
-    rel = float(rel)
+    rel, it = staged_solve()             # cold (compiles included)
     t_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rel2, it2 = solve_jit(u_pk, b_pk)
-    jax.block_until_ready(rel2)
+    rel, it = staged_solve()
     t_warm = time.perf_counter() - t0
     print(json.dumps({
         "metric": "tm_solve_certified_48cube",
         "value": round(t_warm, 2), "unit": "s",
         "cold_s": round(t_cold, 2), "relres": rel,
-        "iters": int(it), "kappa": args.kappa, "dims": args.dims}),
-        flush=True)
+        "iters": it, "kappa": args.kappa, "sloppy": args.sloppy,
+        "dims": args.dims}), flush=True)
     _hbm("after_solve")
 
 
