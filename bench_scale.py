@@ -13,6 +13,7 @@ conventions), solve wallclock/iters/relres, and the device's peak HBM.
     python bench_scale.py [--dims 48 48 48 96] [--kappa 0.128]
 """
 import argparse
+from functools import partial
 import json
 import os
 import socket
@@ -143,9 +144,18 @@ def main():
                                backend="xla")
     u_s = u_pk.astype(sdt)
 
-    @jax.jit
+    # prepare runs ON THE HOST CPU in native f64 (once per source): on
+    # the chip the f64 XLA dslash relayouts the whole gauge into a
+    # 3.8 GiB temp and jit(prepare) alone needs 15.8 GiB (compiler
+    # report in .bench_logs).  125 GiB host RAM takes it easily.
+    cpu = jax.devices("cpu")[0]
+
     def prepare(u_f, b_f):
-        return pc_hp.prepare(u_f, b_f.astype(jnp.float64))
+        with jax.default_device(cpu):
+            bh = pc_hp.prepare(jax.device_put(u_f, cpu),
+                               jax.device_put(b_f, cpu).astype(
+                                   jnp.float64))
+        return jax.device_put(bh, jax.devices()[0])
 
     @jax.jit
     def resid(u_f, x64, bhat):
@@ -164,13 +174,19 @@ def main():
             (args.inner_tol * args.inner_tol) * norm2(bn), inner_cap)
         return dx.astype(jnp.float32), k
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def update(x64, dx):
         return x64 + dx.astype(jnp.float64)
 
+    # prepare once (one dslash pass, per-source cost in production) and
+    # FREE the full-field source: the 48^3 working set fits HBM with
+    # ~57 MB to spare only without b_pk's 1.02 GiB resident (the first
+    # staged attempt OOM'd by exactly that margin).
+    bhat = jax.block_until_ready(prepare(u_pk, b_pk))
+    del b_pk
+    bsq = float(norm2(bhat))
+
     def staged_solve():
-        bhat = prepare(u_pk, b_pk)
-        bsq = float(norm2(bhat))
         x = jnp.zeros_like(bhat)
         total = 0
         rel = 1.0
@@ -180,6 +196,7 @@ def main():
             if rel <= args.tol or total >= args.maxiter:
                 break
             dx, k = inner(u_s, r)
+            del r
             total += 2 * int(k) + 1
             x = update(x, dx)
         return rel, total
