@@ -118,7 +118,7 @@ def main():
         "value": round(gf, 1), "unit": "GFLOP/s", "dims": args.dims,
         "rep_seconds": [round(t, 3) for t in times]}), flush=True)
     _hbm("after_dslash")
-    del psi
+    del psi, u12   # the recon-12 slice is a 2.04 GiB copy
 
     if args.skip_solve:
         return
@@ -144,23 +144,24 @@ def main():
                                backend="xla")
     u_s = u_pk.astype(sdt)
 
-    # prepare runs ON THE HOST CPU in native f64 (once per source): on
-    # the chip the f64 XLA dslash relayouts the whole gauge into a
-    # 3.8 GiB temp and jit(prepare) alone needs 15.8 GiB (compiler
-    # report in .bench_logs).  125 GiB host RAM takes it easily.
+    # prepare + per-refine f64 residuals run ON THE HOST CPU in native
+    # f64 (the on-chip f64 operator programs measured 15.8-16.2 GiB
+    # alone; reports in .bench_logs).  125 GiB host RAM takes them.
     cpu = jax.devices("cpu")[0]
 
-    def prepare(u_f, b_f):
-        with jax.default_device(cpu):
-            bh = pc_hp.prepare(jax.device_put(u_f, cpu),
-                               jax.device_put(b_f, cpu).astype(
-                                   jnp.float64))
-        return jax.device_put(bh, jax.devices()[0])
+    # the f64 residual ALSO runs on the host: on-chip, jit(resid)'s
+    # f64 operator materializes an f64 gauge + layout copies and needs
+    # 16.2 GiB alone (compiler report in .bench_logs).  Host cost is a
+    # few f64 dslash passes per refine on the 125 GiB-RAM CPU; the TPU
+    # does what it is good at (the sloppy Krylov iteration).
+    u_host = jax.device_put(u_pk, cpu)
 
-    @jax.jit
-    def resid(u_f, x64, bhat):
-        r = bhat - pc_hp.apply(u_f, x64)
-        return r, norm2(r)
+    def resid(x64, bhat_h):
+        with jax.default_device(cpu):
+            xh = jax.device_put(x64, cpu)
+            r = bhat_h - pc_hp.apply(u_host, xh)
+            rsq = norm2(r)
+        return jax.device_put(r, jax.devices()[0]), float(rsq)
 
     inner_cap = 2000
 
@@ -182,17 +183,19 @@ def main():
     # FREE the full-field source: the 48^3 working set fits HBM with
     # ~57 MB to spare only without b_pk's 1.02 GiB resident (the first
     # staged attempt OOM'd by exactly that margin).
-    bhat = jax.block_until_ready(prepare(u_pk, b_pk))
+    with jax.default_device(cpu):
+        bhat_h = pc_hp.prepare(u_host, jax.device_put(
+            b_pk, cpu).astype(jnp.float64))
+        bsq = float(norm2(bhat_h))
     del b_pk
-    bsq = float(norm2(bhat))
 
     def staged_solve():
-        x = jnp.zeros_like(bhat)
+        x = jnp.zeros(bhat_h.shape, jnp.float64)
         total = 0
         rel = 1.0
         for _ in range(40):
-            r, rsq = resid(u_pk, x, bhat)
-            rel = (float(rsq) / bsq) ** 0.5
+            r, rsq = resid(x, bhat_h)
+            rel = (rsq / bsq) ** 0.5
             if rel <= args.tol or total >= args.maxiter:
                 break
             dx, k = inner(u_s, r)
