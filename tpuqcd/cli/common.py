@@ -362,7 +362,8 @@ def make_solver(cfg, lat, u_pk, u_full):
                                 smoother_iters=cfg.mg.smoother_iters,
                                 coarse_iters=cfg.mg.coarse_maxiter,
                                 mu_factor=cfg.mg.mu_factor,
-                                setup_solver=cfg.mg.setup_solver)
+                                setup_solver=cfg.mg.setup_solver,
+                                coarse_dtype=cfg.mg.coarse_dtype)
         if lmesh is not None and (cfg.mg.vec_infile or cfg.mg.vec_outfile):
             raise NotImplementedError(
                 "mg.vec_infile/vec_outfile checkpointing is single-chip; "

@@ -118,6 +118,10 @@ class MGParamsCfg:
     #: normal operator via the g5-flavor trick — the near-kappa_c
     #: choice; see mg/dsolve.DeviceMGParams.setup_solver)
     setup_solver: str = "bicgstab"
+    #: "bfloat16" stores coarse-level links in bf16 (fields/accumulation
+    #: stay f32) — halves the dominant V-cycle traffic; see
+    #: mg/dsolve.DeviceMGParams.coarse_dtype
+    coarse_dtype: str = "float32"
     vec_outfile: Optional[str] = None    # null-vector dump (checkpoint)
     vec_infile: Optional[str] = None
 
