@@ -1,0 +1,290 @@
+"""Even-odd TM Dslash / Schur operator in df64 (double-single) precision.
+
+The on-chip high-precision operator for defect-correction certification
+at volumes where XLA's emulated-f64 path does not fit HBM (SURVEY.md
+§8.3 hard part #1; BASELINE.md round 4 measured the f64 operator at
+15.8-16.2 GiB alone at 48^3x96 vs 15.75 GiB on a v5e).  Structure
+mirrors ops/dslash_xla.dslash_eo_dev_ri — the spin-projection stencil
+on packed-real fields (reference `lib/dslash_twisted_mass.cu` +
+generated cores [U]; SURVEY.md C5) — with every spinor value carried as
+an (hi, lo) f32 pair (utils/df64.py) and the gauge kept in native f32:
+f32 link entries enter the error-free products exactly, so the operator
+applied here agrees with the exact-f64 one to ~2^-48 relative
+(tests/test_df64.py verifies against the f64 XLA path on CPU).
+
+A df64 packed spinor is a tuple ``(hi, lo)`` of [2(ri), 4, 3, T, Z, S]
+f32 arrays; the gauge is the ordinary packed f32 [4, 2, 3, 3, 2, T, Z,
+S] (full 18-real links — certification is off the hot path, no
+reconstruct-12 needed).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gammas import (HALF_PROJ_MINUS, HALF_PROJ_PLUS, HALF_RECON_MINUS,
+                      HALF_RECON_PLUS)
+from ..lattice import Lattice
+from ..utils import df64 as df
+from .dslash_xla import _masks
+
+EVEN, ODD = 0, 1
+
+# --- complex-df64 helpers: a value is ((re_hi, re_lo), (im_hi, im_lo)) ----
+
+
+def _c_add(x, y):
+    return df.add(x[0], y[0]), df.add(x[1], y[1])
+
+
+def _c_coef(c: complex, x):
+    """Multiply by a coefficient in {1, -1, i, -i} (exact)."""
+    re, im = x
+    if c == 1:
+        return x
+    if c == -1:
+        return df.neg(re), df.neg(im)
+    if c == 1j:
+        return df.neg(im), re
+    return im, df.neg(re)          # c == -1j
+
+
+def _c_mul_f(ur, ui, h, conj: bool):
+    """(ur + i ui) * h with (ur, ui) f32 arrays and h complex-df64;
+    conj=True uses (ur - i ui).  Error-free f32xdf64 products."""
+    hr, hi_ = h
+    a = df.mul_f(hr, ur)
+    b = df.mul_f(hi_, ui)
+    c = df.mul_f(hi_, ur)
+    d = df.mul_f(hr, ui)
+    if conj:
+        return df.add(a, b), df.sub(c, d)
+    return df.sub(a, b), df.add(c, d)
+
+
+def _map4(fn, x):
+    """Apply fn to all four arrays of a complex-df64 value."""
+    (rh, rl), (ih, il) = x
+    return (fn(rh), fn(rl)), (fn(ih), fn(il))
+
+
+def _stack_c(cs):
+    """list of 3 complex-df64 [T,Z,S] -> complex-df64 [3,T,Z,S]."""
+    re = (jnp.stack([c[0][0] for c in cs]),
+          jnp.stack([c[0][1] for c in cs]))
+    im = (jnp.stack([c[1][0] for c in cs]),
+          jnp.stack([c[1][1] for c in cs]))
+    return re, im
+
+
+def _unstack_c(x):
+    re, im = x
+    return [((re[0][j], re[1][j]), (im[0][j], im[1][j]))
+            for j in range(3)]
+
+
+def _su3_mv_df(u_mu_par, h, dag: bool):
+    """u [3,3,2,T,Z,S] f32; h = list of 3 complex-df64 [T,Z,S]."""
+    rows = []
+    for i in range(3):
+        acc = None
+        for j in range(3):
+            ur = u_mu_par[j, i, 0] if dag else u_mu_par[i, j, 0]
+            ui = u_mu_par[j, i, 1] if dag else u_mu_par[i, j, 1]
+            t = _c_mul_f(ur, ui, h[j], conj=dag)
+            acc = t if acc is None else _c_add(acc, t)
+        rows.append(acc)
+    return rows
+
+
+def dslash_eo_dev_df(u_pk, psi_df, src_parity: int, lat: Lattice,
+                     dagger: bool = False):
+    """D_{q<-p} on a df64 packed spinor; returns a df64 packed spinor.
+
+    u_pk: f32 [4, 2, 3, 3, 2, T, Z, S]; psi_df: (hi, lo) pair of
+    [2, 4, 3, T, Z, S] f32 arrays.
+    """
+    p = src_parity
+    q = 1 - p
+    Xh = lat.Lx // 2
+    o_p, is_first, is_last = _masks(lat, p)
+    o_p = jnp.asarray(o_p)
+    is_first = jnp.asarray(is_first)
+    is_last = jnp.asarray(is_last)
+
+    hpm, hrm = HALF_PROJ_MINUS, HALF_RECON_MINUS
+    hpp, hrp = HALF_PROJ_PLUS, HALF_RECON_PLUS
+    if dagger:
+        hpm, hrm, hpp, hrp = hpp, hrp, hpm, hrm
+
+    def sroll(f, k):
+        return jnp.roll(f, k, axis=-1)
+
+    def shift_fwd(f, mu):
+        if mu == 3:
+            return jnp.roll(f, -1, axis=-3)
+        if mu == 2:
+            return jnp.roll(f, -1, axis=-2)
+        if mu == 1:
+            return sroll(f, -Xh)
+        return jnp.where(o_p, f,
+                         jnp.where(is_last, sroll(f, Xh - 1),
+                                   sroll(f, -1)))
+
+    def shift_bwd(f, mu):
+        if mu == 3:
+            return jnp.roll(f, +1, axis=-3)
+        if mu == 2:
+            return jnp.roll(f, +1, axis=-2)
+        if mu == 1:
+            return sroll(f, +Xh)
+        return jnp.where(o_p,
+                         jnp.where(is_first, sroll(f, -(Xh - 1)),
+                                   sroll(f, 1)),
+                         f)
+
+    def combine(tab, comps):
+        out = []
+        for row in tab:
+            acc = None
+            for b, coef in enumerate(row):
+                c = complex(coef)
+                if c == 0:
+                    continue
+                t = _c_coef(c, comps[b])
+                acc = t if acc is None else _c_add(acc, t)
+            out.append(acc)
+        return out
+
+    hi_a, lo_a = psi_df
+    psi_c = [((hi_a[0, a], lo_a[0, a]), (hi_a[1, a], lo_a[1, a]))
+             for a in range(4)]              # complex-df64 [3,T,Z,S]
+    out = [None] * 4
+
+    def accum(rec):
+        for a in range(4):
+            out[a] = rec[a] if out[a] is None else _c_add(out[a], rec[a])
+
+    for mu in range(4):
+        # forward hop: (1 -+ g_mu) U_mu(x) psi(x + mu)
+        h = combine(hpm[mu], psi_c)          # 2 half-spinor comps
+        h = [_map4(lambda f, m=mu: shift_fwd(f, m), c) for c in h]
+        uh = [_stack_c(_su3_mv_df(u_pk[mu, q], _unstack_c(c), dag=False))
+              for c in h]
+        accum(combine(hrm[mu], uh))
+        # backward hop: (1 +- g_mu) U_mu(x - mu)^dag psi(x - mu)
+        h = combine(hpp[mu], psi_c)
+        uh = [_stack_c(_su3_mv_df(u_pk[mu, p], _unstack_c(c), dag=True))
+              for c in h]
+        uh = [_map4(lambda f, m=mu: shift_bwd(f, m), c) for c in uh]
+        accum(combine(hrp[mu], uh))
+
+    hi_o = jnp.stack([jnp.stack([out[a][0][0] for a in range(4)]),
+                      jnp.stack([out[a][1][0] for a in range(4)])])
+    lo_o = jnp.stack([jnp.stack([out[a][0][1] for a in range(4)]),
+                      jnp.stack([out[a][1][1] for a in range(4)])])
+    return hi_o, lo_o
+
+
+# --- site terms ------------------------------------------------------------
+
+def _g5_signs(dtype=jnp.float32):
+    from ..operators import _G5_DIAG
+    return jnp.asarray(_G5_DIAG, dtype).reshape(1, 4, 1, 1, 1, 1)
+
+
+def _ri_parts(x_df):
+    """(hi, lo) of [2,4,3,T,Z,S] -> (re_df, im_df) of [4,3,T,Z,S]."""
+    hi_a, lo_a = x_df
+    return (hi_a[0], lo_a[0]), (hi_a[1], lo_a[1])
+
+
+def _join_ri(re, im):
+    return (jnp.stack([re[0], im[0]]), jnp.stack([re[1], im[1]]))
+
+
+def twist_apply_df(psi_df, kappa: float, mu: float, flavor: int = +1):
+    """(1 + 2 i kappa mu f g5) psi in df64."""
+    t = df.scalar(2.0 * kappa * mu * flavor)
+    g5 = _g5_signs()[0]                       # [4,1,1,1,1] of +-1
+    re, im = _ri_parts(psi_df)
+    im_g = (im[0] * g5, im[1] * g5)           # exact sign flips
+    re_g = (re[0] * g5, re[1] * g5)
+    re_o = df.sub(re, df.mul_s(im_g, t))
+    im_o = df.add(im, df.mul_s(re_g, t))
+    return _join_ri(re_o, im_o)
+
+
+def twist_inv_apply_df(psi_df, kappa: float, mu: float, flavor: int = +1):
+    """(1 - 2 i kappa mu f g5) psi / (1 + (2 kappa mu)^2) in df64."""
+    tval = 2.0 * kappa * mu * flavor
+    t = df.scalar(tval)
+    d = df.scalar(1.0 / (1.0 + np.float64(tval) * np.float64(tval)))
+    g5 = _g5_signs()[0]
+    re, im = _ri_parts(psi_df)
+    im_g = (im[0] * g5, im[1] * g5)
+    re_g = (re[0] * g5, re[1] * g5)
+    re_o = df.mul_s(df.add(re, df.mul_s(im_g, t)), d)
+    im_o = df.mul_s(df.sub(im, df.mul_s(re_g, t)), d)
+    return _join_ri(re_o, im_o)
+
+
+@dataclasses.dataclass(frozen=True)
+class TMOperatorPCDF64:
+    """Even-odd preconditioned TM operator in df64 precision.
+
+    The df64 twin of operators.PackedTMOperatorPC's "xla"/f64 path
+    (same asymmetric even-even Schur form, SURVEY.md Appendix A #4):
+    Mhat x = A x - k^2 D_eo A^{-1} D_oe x.  Gauge stays f32; spinors
+    are (hi, lo) pairs; coefficients are df64 scalars so k^2 and the
+    twist denominators carry their full f64 values.
+    """
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+
+    def _apply(self, u_pk, x_df, dagger: bool):
+        f = self.flavor if not dagger else -self.flavor
+        k2 = df.scalar(np.float64(self.kappa) * np.float64(self.kappa))
+        t = dslash_eo_dev_df(u_pk, x_df, EVEN, self.lat, dagger=dagger)
+        t = twist_inv_apply_df(t, self.kappa, self.mu, f)
+        t = dslash_eo_dev_df(u_pk, t, ODD, self.lat, dagger=dagger)
+        a = twist_apply_df(x_df, self.kappa, self.mu, f)
+        return df.sub(a, df.mul_s(t, k2))
+
+    def apply(self, u_pk, x_df):
+        return self._apply(u_pk, x_df, dagger=False)
+
+    def apply_dagger(self, u_pk, x_df):
+        return self._apply(u_pk, x_df, dagger=True)
+
+    def prepare(self, u_pk, b_df):
+        """b_df: (hi, lo) of [2(par), 2(ri), 4, 3, T, Z, S] ->
+        bhat_e = b_e + k D_eo A^{-1} b_o (df64)."""
+        k = df.scalar(self.kappa)
+        hi_a, lo_a = b_df
+        b_e = (hi_a[0], lo_a[0])
+        b_o = (hi_a[1], lo_a[1])
+        t = twist_inv_apply_df(b_o, self.kappa, self.mu, self.flavor)
+        d = dslash_eo_dev_df(u_pk, t, ODD, self.lat)
+        return df.add(b_e, df.mul_s(d, k))
+
+    def reconstruct(self, u_pk, x_df, b_df):
+        """x_o = A^{-1} (b_o + k D_oe x_e); returns (hi, lo) of
+        [2(par), ...]."""
+        k = df.scalar(self.kappa)
+        hi_a, lo_a = b_df
+        b_o = (hi_a[1], lo_a[1])
+        d = dslash_eo_dev_df(u_pk, x_df, EVEN, self.lat)
+        t = df.add(b_o, df.mul_s(d, k))
+        x_o = twist_inv_apply_df(t, self.kappa, self.mu, self.flavor)
+        return (jnp.stack([x_df[0], x_o[0]]),
+                jnp.stack([x_df[1], x_o[1]]))
+
+    def residual(self, u_pk, x_df, bhat_df):
+        """r = bhat - Mhat x in df64; returns (r_df, |r|^2 as f64)."""
+        r = df.sub(bhat_df, self.apply(u_pk, x_df))
+        return r, df.norm2_f64(r)
