@@ -3,12 +3,13 @@
 (BASELINE.json:11; VERDICT r2 #5 / r3 missing #2).
 
 Runs the production Dslash at the flagship volume and ONE certified
-twisted-mass solve through solve_tm with hp_gauge="float32" (the
-f64-gauge copy alone would be 6.1 GB on top of the 3.1 GB f32 gauge
-and the solver workspace; the native-f32 gauge promotes
-exactly into the f64 hop products, so certification is exact for the
-system actually solved).  Prints JSON lines: dslash GF/s (via bench.py
-conventions), solve wallclock/iters/relres, and the device's peak HBM.
+twisted-mass solve: bf16 sloppy CG-NE inner iterations on-chip with the
+true residual certified by the ON-CHIP df64 operator
+(ops/dslash_df64.py — double-single f32 pairs, gauge kept native f32;
+an f64-gauge copy alone would be 6.1 GB and XLA's emulated-f64 operator
+measured 15.8-16.2 GiB, neither of which fits the 15.75 GiB v5e next to
+the solver workspace).  Prints JSON lines: dslash GF/s (bench.py
+conventions), solve wallclock/iters/relres, and the device's HBM use.
 
     python bench_scale.py [--dims 48 48 48 96] [--kappa 0.128]
 """
@@ -46,15 +47,34 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def _hbm(tag):
+    """Peak/in-use HBM.  The axon backend's memory_stats() returns None
+    (VERDICT r4 weak #4), so fall back to summing the live device
+    arrays — not a true allocator peak, but a real measured number for
+    the persistent set on successful runs (OOM reports remain the only
+    peak evidence when allocation fails)."""
+    dev = jax.devices()[0]
+    st = None
     try:
-        st = jax.devices()[0].memory_stats()
+        st = dev.memory_stats()
+    except Exception:
+        pass
+    if st:
         print(json.dumps({
             "metric": f"hbm_{tag}",
             "value": round(st.get("peak_bytes_in_use", 0) / 2**30, 2),
             "unit": "GiB",
             "in_use_gib": round(st.get("bytes_in_use", 0) / 2**30, 2)}),
             flush=True)
-    except Exception as e:      # memory_stats may be unimplemented
+        return
+    try:
+        live = sum(int(a.nbytes) for a in jax.live_arrays()
+                   if list(a.devices())[0].platform != "cpu")
+        print(json.dumps({
+            "metric": f"hbm_{tag}", "value": round(live / 2**30, 2),
+            "unit": "GiB", "source": "live_arrays (allocator stats "
+            "unavailable on this backend; transients not counted)"}),
+            flush=True)
+    except Exception as e:
         print(json.dumps({"metric": f"hbm_{tag}", "value": None,
                           "error": str(e)[:120]}), flush=True)
 
@@ -128,46 +148,46 @@ def main():
     # like mg/dsolve.solve_certified): the monolithic solve_tm jit holds
     # every phase's buffers in one program and XLA bounds it at
     # 18.1 GiB (f32 sloppy) / 19.0 GiB (bf16) against 15.75 GiB HBM —
-    # both compiler reports recorded in .bench_logs.  Staged, the
-    # persistent set is u_pk(f32 3.05G) + u_sloppy + three f64 eo
-    # fields, ~9.5 GiB peak.
+    # both compiler reports recorded in .bench_logs.  The true-residual
+    # path is the ON-CHIP df64 operator (ops/dslash_df64.py; SURVEY.md
+    # §8.3 hard part #1): ~2^-48 relative precision from f32 pairs with
+    # the gauge kept native f32, so no f64 gauge copy (6.1 GiB) and no
+    # emulated-f64 field buffers — the round-4 host-CPU stage (~10 min
+    # per residual pass on this 1-core box) is gone.
     from tpuqcd.operators import PackedTMOperatorPC
+    from tpuqcd.ops.dslash_df64 import TMOperatorPCDF64
     from tpuqcd.solvers.cg import _cg_cycle
     from tpuqcd.solvers.reductions import norm2
+    from tpuqcd.utils import df64 as df
 
     b = random_spinor_dev(jax.random.PRNGKey(2), lat)
     b_pk = jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])])
     del b
     sdt = jnp.bfloat16 if args.sloppy == "bfloat16" else jnp.float32
     pc_s = PackedTMOperatorPC(lat, kappa=args.kappa, mu=args.mu)
-    pc_hp = PackedTMOperatorPC(lat, kappa=args.kappa, mu=args.mu,
-                               backend="xla")
+    pc_df = TMOperatorPCDF64(lat, kappa=args.kappa, mu=args.mu)
     u_s = u_pk.astype(sdt)
-
-    # prepare + per-refine f64 residuals run ON THE HOST CPU in native
-    # f64 (the on-chip f64 operator programs measured 15.8-16.2 GiB
-    # alone; reports in .bench_logs).  125 GiB host RAM takes them.
-    cpu = jax.devices("cpu")[0]
-
-    # the f64 residual ALSO runs on the host: on-chip, jit(resid)'s
-    # f64 operator materializes an f64 gauge + layout copies and needs
-    # 16.2 GiB alone (compiler report in .bench_logs).  Host cost is a
-    # few f64 dslash passes per refine on the 125 GiB-RAM CPU; the TPU
-    # does what it is good at (the sloppy Krylov iteration).
-    u_host = jax.device_put(u_pk, cpu)
-
-    def resid(x64, bhat_h):
-        with jax.default_device(cpu):
-            xh = jax.device_put(x64, cpu)
-            r = bhat_h - pc_hp.apply(u_host, xh)
-            rsq = norm2(r)
-        return jax.device_put(r, jax.devices()[0]), float(rsq)
 
     inner_cap = 2000
 
+    # LEG-STAGED df64 programs (apply_staged/residual_staged): the
+    # monolithic df64 residual jit OOM'd at 48^3x96 (RESOURCE_EXHAUSTED
+    # — the unrolled 8-leg stencil's transients on top of the ~5.2 GiB
+    # persistent set), so each XLA execution covers 2 hop legs and XLA
+    # frees its transients at exit.
+    def prepare_df(u_a, b_f32):
+        bhat = pc_df.prepare_staged(u_a, (b_f32, jnp.zeros_like(b_f32)))
+        return bhat, jax.jit(df.norm2_f64)(bhat)
+
+    def resid_df(u_a, x_df, bhat_df):
+        r_df, rsq = pc_df.residual_staged(u_a, x_df, bhat_df)
+        # the residual's magnitude is far above the df64 noise floor,
+        # so its hi word is the exact f32 rounding of the true residual
+        return df.hi(r_df), rsq
+
     @jax.jit
-    def inner(u_sl, r64):
-        r_s = r64.astype(sdt)
+    def inner(u_sl, r32):
+        r_s = r32.astype(sdt)
         bn = pc_s.apply_dagger(u_sl, r_s)
         dx, _, k = _cg_cycle(
             lambda x: pc_s.apply_dagger(u_sl, pc_s.apply(u_sl, x)),
@@ -176,32 +196,30 @@ def main():
         return dx.astype(jnp.float32), k
 
     @partial(jax.jit, donate_argnums=(0,))
-    def update(x64, dx):
-        return x64 + dx.astype(jnp.float64)
+    def update(x_df, dx):
+        return df.add_f(x_df, dx)
 
-    # prepare once (one dslash pass, per-source cost in production) and
-    # FREE the full-field source: the 48^3 working set fits HBM with
-    # ~57 MB to spare only without b_pk's 1.02 GiB resident (the first
-    # staged attempt OOM'd by exactly that margin).
-    with jax.default_device(cpu):
-        bhat_h = pc_hp.prepare(u_host, jax.device_put(
-            b_pk, cpu).astype(jnp.float64))
-        bsq = float(norm2(bhat_h))
+    # prepare once (one df64 dslash pass, per-source cost in
+    # production) and FREE the full-field source (1.02 GiB).
+    bhat_df, bsq_a = prepare_df(u_pk, b_pk)
+    bsq = float(bsq_a)
     del b_pk
+    _hbm("after_prepare")
 
     def staged_solve():
-        x = jnp.zeros(bhat_h.shape, jnp.float64)
+        x_df = (jnp.zeros(bhat_df[0].shape, jnp.float32),
+                jnp.zeros(bhat_df[0].shape, jnp.float32))
         total = 0
         rel = 1.0
         for _ in range(40):
-            r, rsq = resid(x, bhat_h)
-            rel = (rsq / bsq) ** 0.5
+            r32, rsq = resid_df(u_pk, x_df, bhat_df)
+            rel = (float(rsq) / bsq) ** 0.5
             if rel <= args.tol or total >= args.maxiter:
                 break
-            dx, k = inner(u_s, r)
-            del r
+            dx, k = inner(u_s, r32)
+            del r32
             total += 2 * int(k) + 1
-            x = update(x, dx)
+            x_df = update(x_df, dx)
         return rel, total
 
     t0 = time.perf_counter()
@@ -215,7 +233,7 @@ def main():
         "value": round(t_warm, 2), "unit": "s",
         "cold_s": round(t_cold, 2), "relres": rel,
         "iters": it, "kappa": args.kappa, "sloppy": args.sloppy,
-        "dims": args.dims}), flush=True)
+        "hp": "df64_onchip", "dims": args.dims}), flush=True)
     _hbm("after_solve")
 
 

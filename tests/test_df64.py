@@ -162,3 +162,31 @@ def test_df64_certified_residual_matches_f64():
     _, rsq_got = jax.jit(pcdf.residual)(u_pk, df.from_f64(x64),
                                         df.from_f64(bhat64))
     assert abs(float(rsq_got) - rsq_want) < 1e-4 * rsq_want
+
+
+def test_staged_apply_matches_monolithic():
+    """The leg-staged large-volume path (bounded per-program transients)
+    computes the same operator as the monolithic df64 apply."""
+    u_pk, psi64 = _fields()
+    kappa, mu = 0.131, 0.0071
+    pcdf = TMOperatorPCDF64(LAT, kappa=kappa, mu=mu)
+    x_df = df.from_f64(psi64)
+    mono = df.to_f64(jax.jit(pcdf.apply)(u_pk, x_df))
+    for lpc in (1, 2, 8):
+        staged = df.to_f64(pcdf.apply_staged(u_pk, x_df,
+                                             legs_per_call=lpc))
+        err = float(jnp.max(jnp.abs(staged - mono)) /
+                    jnp.max(jnp.abs(mono)))
+        # leg-accumulation order differs; agreement at the df64 floor
+        assert err < 1e-12, (lpc, err)
+    # staged residual meter agrees with the monolithic one
+    b_df = df.from_f64(1.01 * psi64)
+    _, rsq_m = jax.jit(pcdf.residual)(u_pk, x_df, b_df)
+    _, rsq_s = pcdf.residual_staged(u_pk, x_df, b_df)
+    assert abs(float(rsq_s) - float(rsq_m)) < 1e-9 * float(rsq_m)
+    # staged prepare too
+    b2 = jnp.stack([1.01 * psi64, 0.99 * psi64])
+    want = df.to_f64(jax.jit(pcdf.prepare)(u_pk, df.from_f64(b2)))
+    got = df.to_f64(pcdf.prepare_staged(u_pk, df.from_f64(b2)))
+    err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+    assert err < 1e-12, err

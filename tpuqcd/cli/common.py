@@ -361,8 +361,10 @@ def make_solver(cfg, lat, u_pk, u_full):
                                 setup_iters=cfg.mg.setup_iters,
                                 smoother_iters=cfg.mg.smoother_iters,
                                 coarse_iters=cfg.mg.coarse_maxiter,
+                                restart=cfg.mg.restart,
                                 mu_factor=cfg.mg.mu_factor,
                                 setup_solver=cfg.mg.setup_solver,
+                                smoother_dtype=cfg.mg.smoother_dtype,
                                 coarse_dtype=cfg.mg.coarse_dtype)
         if lmesh is not None and (cfg.mg.vec_infile or cfg.mg.vec_outfile):
             raise NotImplementedError(

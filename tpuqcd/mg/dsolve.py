@@ -69,6 +69,29 @@ class DeviceMGParams:
     #: link bytes halves the dominant term; flexible GCR absorbs the
     #: preconditioner perturbation like the bf16 smoother.
     coarse_dtype: str = "float32"
+    #: default inner (f32 GCR) tolerance for solve_certified when the
+    #: caller does not pass one; the near-critical recipe measured 1e-7
+    #: as the winner (fewer defect-correction restarts re-entering a
+    #: stalled preconditioner; BASELINE.md round-4 ladder 1.02x -> 1.29x)
+    inner_tol: float = 1e-5
+
+    @classmethod
+    def near_critical(cls, levels: int = 2) -> "DeviceMGParams":
+        """The measured-best recipe near kappa_c on thermalized gauges
+        (BASELINE.md round-4 campaign, canonical 24^3 command: 1.29x
+        over CG at kappa=0.157, beta=6.0): CG-NE inverse-iteration
+        setup at depth 300 (the only setup whose coarse space tracks
+        the critical modes), n_vec 16, restart-24 flexible GCR, bf16
+        smoother + bf16 coarse links, coarse GCR 24, inner 1e-7.
+        levels=3 keeps the same fine recipe and adds a 2^4 second
+        coarsening (the [P:1710.06198]-style 3-level cycle)."""
+        nv = (16,) if levels == 2 else (16,) * (levels - 1)
+        blocks = ((4, 4, 4, 4),) + ((2, 2, 2, 2),) * (levels - 2)
+        return cls(n_vec=nv, block=blocks, setup_iters=300,
+                   smoother_iters=4, coarse_iters=24, restart=24,
+                   mu_factor=6.0, smoother_dtype="bfloat16",
+                   setup_solver="cgne", coarse_dtype="bfloat16",
+                   inner_tol=1e-7)
 
 
 class DeviceMG:
@@ -308,13 +331,15 @@ class DeviceMG:
         return GCRResultPk(x=x, relres=relres, iters=total,
                            converged=bool((relres <= tol).all()))
 
-    def solve_certified_batch(self, b, *, tol=1e-10, inner_tol=1e-5,
+    def solve_certified_batch(self, b, *, tol=1e-10, inner_tol=None,
                               maxiter=200, max_refine=12, verbose=False):
         """Batched defect correction to the f64 true residual: the
         multi-RHS twin of solve_certified (per-RHS normalization and
         certification).  b: [n_rhs, 2, 2, 4, 3, T, Z, S]; returns
         (x_f64 [n_rhs, ...], relres [n_rhs] np, total_inner_iters)."""
         import numpy as np
+        if inner_tol is None:
+            inner_tol = self.params.inner_tol
         fine = self.levels[0]
         if getattr(self, "_hp_cache_b", None) is None:
             hp = (self._hp_cache[0] if getattr(self, "_hp_cache", None)
@@ -386,13 +411,16 @@ class DeviceMG:
                            relres=relres, iters=total,
                            converged=relres <= tol)
 
-    def solve_certified(self, b, *, tol=1e-10, inner_tol=1e-5,
+    def solve_certified(self, b, *, tol=1e-10, inner_tol=None,
                         maxiter=200, max_refine=12, verbose=False):
         """Defect correction to the f64 *true* residual (the contract's
         "MG solve to 1e-10", SURVEY.md §8.3 hard part #1).
 
-        Returns (x_f64, relres, total_inner_iters).
+        inner_tol=None uses params.inner_tol (so presets carry their
+        tuned value).  Returns (x_f64, relres, total_inner_iters).
         """
+        if inner_tol is None:
+            inner_tol = self.params.inner_tol
         fine = self.levels[0]
         # f32 gauge/clover entries promote EXACTLY into the f64 products,
         # so the high-precision operator keeps the f32 data (an f64 gauge

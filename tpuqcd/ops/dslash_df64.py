@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,11 +101,13 @@ def _su3_mv_df(u_mu_par, h, dag: bool):
 
 
 def dslash_eo_dev_df(u_pk, psi_df, src_parity: int, lat: Lattice,
-                     dagger: bool = False):
+                     dagger: bool = False, dirs: tuple = None):
     """D_{q<-p} on a df64 packed spinor; returns a df64 packed spinor.
 
     u_pk: f32 [4, 2, 3, 3, 2, T, Z, S]; psi_df: (hi, lo) pair of
-    [2, 4, 3, T, Z, S] f32 arrays.
+    [2, 4, 3, T, Z, S] f32 arrays.  dirs: optional tuple of (mu, sign)
+    legs to accumulate (as dslash_eo_dev_ri) — the staged large-volume
+    path jits a few legs per program to bound transient HBM.
     """
     p = src_parity
     q = 1 - p
@@ -167,19 +170,25 @@ def dslash_eo_dev_df(u_pk, psi_df, src_parity: int, lat: Lattice,
         for a in range(4):
             out[a] = rec[a] if out[a] is None else _c_add(out[a], rec[a])
 
+    legs = dirs if dirs is not None else tuple(
+        (mu, s) for mu in range(4) for s in (+1, -1))
     for mu in range(4):
-        # forward hop: (1 -+ g_mu) U_mu(x) psi(x + mu)
-        h = combine(hpm[mu], psi_c)          # 2 half-spinor comps
-        h = [_map4(lambda f, m=mu: shift_fwd(f, m), c) for c in h]
-        uh = [_stack_c(_su3_mv_df(u_pk[mu, q], _unstack_c(c), dag=False))
-              for c in h]
-        accum(combine(hrm[mu], uh))
-        # backward hop: (1 +- g_mu) U_mu(x - mu)^dag psi(x - mu)
-        h = combine(hpp[mu], psi_c)
-        uh = [_stack_c(_su3_mv_df(u_pk[mu, p], _unstack_c(c), dag=True))
-              for c in h]
-        uh = [_map4(lambda f, m=mu: shift_bwd(f, m), c) for c in uh]
-        accum(combine(hrp[mu], uh))
+        if (mu, +1) in legs:
+            # forward hop: (1 -+ g_mu) U_mu(x) psi(x + mu)
+            h = combine(hpm[mu], psi_c)          # 2 half-spinor comps
+            h = [_map4(lambda f, m=mu: shift_fwd(f, m), c) for c in h]
+            uh = [_stack_c(_su3_mv_df(u_pk[mu, q], _unstack_c(c),
+                                      dag=False))
+                  for c in h]
+            accum(combine(hrm[mu], uh))
+        if (mu, -1) in legs:
+            # backward hop: (1 +- g_mu) U_mu(x - mu)^dag psi(x - mu)
+            h = combine(hpp[mu], psi_c)
+            uh = [_stack_c(_su3_mv_df(u_pk[mu, p], _unstack_c(c),
+                                      dag=True))
+                  for c in h]
+            uh = [_map4(lambda f, m=mu: shift_bwd(f, m), c) for c in uh]
+            accum(combine(hrp[mu], uh))
 
     hi_o = jnp.stack([jnp.stack([out[a][0][0] for a in range(4)]),
                       jnp.stack([out[a][1][0] for a in range(4)])])
@@ -288,3 +297,85 @@ class TMOperatorPCDF64:
         """r = bhat - Mhat x in df64; returns (r_df, |r|^2 as f64)."""
         r = df.sub(bhat_df, self.apply(u_pk, x_df))
         return r, df.norm2_f64(r)
+
+    # --- staged (large-volume) path ------------------------------------
+    # At 48^3x96 the monolithic jit of apply() OOMs: the fully unrolled
+    # 8-leg df64 stencil's transients exceed the ~10 GiB HBM left beside
+    # the persistent solver set (measured RESOURCE_EXHAUSTED on v5e,
+    # round 5).  Staged, each XLA execution covers a few legs (one
+    # compiled program per (dirs, parity, dagger) signature, reused
+    # across refines via jit caching), and XLA frees each program's
+    # transients at exit.  Certification runs once per refine — the
+    # extra psi re-reads are noise.
+
+    def apply_staged(self, u_pk, x_df, dagger: bool = False,
+                     legs_per_call: int = 2):
+        f = self.flavor if not dagger else -self.flavor
+        t = _dslash_df_staged(u_pk, x_df, EVEN, self.lat, dagger,
+                              legs_per_call)
+        t = _twist_inv_jit(t, self.kappa, self.mu, f)
+        t = _dslash_df_staged(u_pk, t, ODD, self.lat, dagger,
+                              legs_per_call)
+        return _site_finish_jit(x_df, t, self.kappa, self.mu, f)
+
+    def residual_staged(self, u_pk, x_df, bhat_df,
+                        legs_per_call: int = 2):
+        mx = self.apply_staged(u_pk, x_df, legs_per_call=legs_per_call)
+        return _sub_norm_jit(bhat_df, mx)
+
+    def prepare_staged(self, u_pk, b_df, legs_per_call: int = 2):
+        k = df.scalar(self.kappa)
+        hi_a, lo_a = b_df
+        b_e = (hi_a[0], lo_a[0])
+        b_o = (hi_a[1], lo_a[1])
+        t = _twist_inv_jit(b_o, self.kappa, self.mu, self.flavor)
+        d = _dslash_df_staged(u_pk, t, ODD, self.lat, False,
+                              legs_per_call)
+        return _axpy_jit(b_e, d, k)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("parity", "lat", "dirs", "dagger"))
+def _leg_jit(u_pk, psi_df, *, parity, lat, dirs, dagger):
+    return dslash_eo_dev_df(u_pk, psi_df, parity, lat, dagger=dagger,
+                            dirs=dirs)
+
+
+@jax.jit
+def _add_df_jit(a, b):
+    return df.add(a, b)
+
+
+@_partial(jax.jit, static_argnames=("kappa", "mu", "flavor"))
+def _twist_inv_jit(t, kappa, mu, flavor):
+    return twist_inv_apply_df(t, kappa, mu, flavor)
+
+
+@_partial(jax.jit, static_argnames=("kappa", "mu", "flavor"))
+def _site_finish_jit(x_df, t, kappa, mu, flavor):
+    k2 = df.scalar(np.float64(kappa) * np.float64(kappa))
+    return df.sub(twist_apply_df(x_df, kappa, mu, flavor),
+                  df.mul_s(t, k2))
+
+
+@jax.jit
+def _sub_norm_jit(b_df, mx_df):
+    r = df.sub(b_df, mx_df)
+    return r, df.norm2_f64(r)
+
+
+@jax.jit
+def _axpy_jit(b_e, d, k):
+    return df.add(b_e, df.mul_s(d, k))
+
+
+def _dslash_df_staged(u_pk, psi_df, parity, lat, dagger, legs_per_call):
+    all_legs = tuple((mu, s) for mu in range(4) for s in (+1, -1))
+    acc = None
+    for i in range(0, 8, legs_per_call):
+        t = _leg_jit(u_pk, psi_df, parity=parity, lat=lat,
+                     dirs=all_legs[i:i + legs_per_call], dagger=dagger)
+        acc = t if acc is None else _add_df_jit(acc, t)
+    return acc

@@ -213,12 +213,16 @@ def _reunit(u):
 @_lru_cache(maxsize=None)
 def _therm_fn(lat: Lattice, n_or: int, reunit_every: int):
     """One compiled thermalization program per (lattice, schedule): key,
-    beta, and the sweep count are all dynamic, so thermalization and the
-    decorrelation skips of an ensemble run share a single XLA program."""
+    beta, the sweep count AND the global sweep offset are all dynamic,
+    so thermalization, the decorrelation skips of an ensemble run, and
+    the chunked segments of a long run all share a single XLA program."""
 
-    def run(u0, key, beta, n_sweeps):
+    def run(u0, key, beta, n_sweeps, start):
         def body(i, u):
-            ks = jax.random.fold_in(key, i)
+            # fold in the GLOBAL sweep index: chunked executions of a
+            # long run draw the same randomness stream as one monolithic
+            # execution would
+            ks = jax.random.fold_in(key, start + i)
             u = heatbath_sweep(u, ks, beta, lat)
             for _ in range(n_or):
                 u = overrelax_sweep(u, lat)
@@ -237,16 +241,39 @@ def _therm_fn(lat: Lattice, n_or: int, reunit_every: int):
     return jax.jit(run)
 
 
+#: Upper bound on sweeps per XLA execution.  One monolithic execution of
+#: a long thermalization is minutes of device time at production
+#: volumes, and the remote (axon) TPU worker kills executions it deems
+#: hung: the round-4 32^3x64 campaign crashed the worker 3/3 times
+#: inside a single 160-sweep program (.bench_logs/mg32.log, "TPU worker
+#: process crashed or restarted ... kernel fault") while the identical
+#: physics ran fine at 24^3x48.  Chunking bounds per-execution wallclock
+#: with zero recompiles (one program, dynamic count + offset) and — via
+#: the global sweep offset above — an unchanged randomness stream.
+MAX_SWEEPS_PER_CALL = 20
+
+
 def thermalize(key, lat: Lattice, beta: float, n_sweeps: int,
                n_or: int = 3, u0: jax.Array | None = None,
-               reunit_every: int = 20) -> jax.Array:
+               reunit_every: int = 20,
+               max_sweeps_per_call: int | None = None) -> jax.Array:
     """Run n_sweeps compound (1 heatbath + n_or overrelaxation) sweeps
-    from u0 (default: cold/unit start) and return the gauge field."""
+    from u0 (default: cold/unit start) and return the gauge field.
+
+    Long runs execute as ceil(n_sweeps / max_sweeps_per_call) calls of
+    ONE compiled program (see MAX_SWEEPS_PER_CALL); the default chunk
+    equals reunit_every so the reunitarization schedule matches the
+    monolithic execution too."""
     from .. import su3
     if u0 is None:
         u0 = su3.unit_gauge_dev(lat)
     fn = _therm_fn(lat, n_or, reunit_every)
-    return fn(u0, key, jnp.float32(beta), jnp.int32(n_sweeps))
+    chunk = max_sweeps_per_call or min(MAX_SWEEPS_PER_CALL, reunit_every)
+    u = u0
+    for start in range(0, int(n_sweeps), chunk):
+        n = min(chunk, int(n_sweeps) - start)
+        u = fn(u, key, jnp.float32(beta), jnp.int32(n), jnp.int32(start))
+    return u
 
 
 def generate_ensemble(key, lat: Lattice, beta: float, n_cfg: int,

@@ -431,7 +431,7 @@ def setup_multigrid(u_pk: jax.Array, lat: Lattice, *, kappa: float,
 
 
 def solve_tm_mg(mg, b_pk: jax.Array, *, tol: float = 1e-10,
-                inner_tol: float = 1e-5, maxiter: int = 200,
+                inner_tol: float | None = None, maxiter: int = 200,
                 verbose: bool = False) -> SolveResult:
     """MG-preconditioned solve of the *full* (two-parity) TM system
     M x = b on the device hierarchy from :func:`setup_multigrid`.
@@ -448,7 +448,7 @@ def solve_tm_mg(mg, b_pk: jax.Array, *, tol: float = 1e-10,
 
 
 def solve_tm_mg_batch(mg, b_pks: jax.Array, *, tol: float = 1e-10,
-                      inner_tol: float = 1e-5, maxiter: int = 200,
+                      inner_tol: float | None = None, maxiter: int = 200,
                       verbose: bool = False) -> SolveResult:
     """Batched multi-RHS MG solve: the 12 propagator columns as ONE
     vmapped GCR stream (SURVEY.md §8.4, the TPU win over the reference's

@@ -107,23 +107,44 @@ class SolverParams:
 @dataclass(frozen=True)
 class MGParamsCfg:
     enabled: bool = False
+    #: "near_critical" rebases every unset key below on the tuned
+    #: near-kappa_c recipe (mg/dsolve.DeviceMGParams.near_critical:
+    #: CG-NE setup 300, n_vec 16, restart 24, bf16 smoother + coarse
+    #: links, coarse GCR 24 — the BASELINE.md 1.29x-over-CG row; pair
+    #: it with solver.inner_tol: 1e-7).  Explicit YAML keys win.
+    preset: Optional[str] = None
     n_vec: tuple[int, ...] = (16,)
     block: tuple = ((4, 4, 4, 4),)
     setup_iters: int = 60
     smoother_iters: int = 4
     coarse_tol: float = 0.25
     coarse_maxiter: int = 32
+    #: flexible-GCR restart length of the outer MG-preconditioned solve
+    restart: int = 8
     mu_factor: float = 6.0
     #: fine-level null-vector setup: "bicgstab" or "cgne" (CG on the
     #: normal operator via the g5-flavor trick — the near-kappa_c
     #: choice; see mg/dsolve.DeviceMGParams.setup_solver)
     setup_solver: str = "bicgstab"
+    #: "bfloat16" runs the fine-level smoother on a bf16 twin
+    smoother_dtype: str = "float32"
     #: "bfloat16" stores coarse-level links in bf16 (fields/accumulation
     #: stay f32) — halves the dominant V-cycle traffic; see
     #: mg/dsolve.DeviceMGParams.coarse_dtype
     coarse_dtype: str = "float32"
     vec_outfile: Optional[str] = None    # null-vector dump (checkpoint)
     vec_infile: Optional[str] = None
+
+
+#: MGParamsCfg key values the "near_critical" preset rebases on
+#: (mirrors DeviceMGParams.near_critical; coarse_maxiter <-> coarse_iters)
+MG_PRESETS = {
+    "near_critical": dict(
+        n_vec=(16,), block=((4, 4, 4, 4),), setup_iters=300,
+        smoother_iters=4, coarse_maxiter=24, restart=24, mu_factor=6.0,
+        setup_solver="cgne", smoother_dtype="bfloat16",
+        coarse_dtype="bfloat16"),
+}
 
 
 @dataclass(frozen=True)
@@ -389,6 +410,18 @@ def _tupleize(v):
     return v
 
 
+def _apply_mg_preset(raw_mg: dict) -> dict:
+    """Merge a named preset under the user's explicit mg keys."""
+    preset = raw_mg.get("preset")
+    if not preset:
+        return raw_mg
+    if preset not in MG_PRESETS:
+        raise ConfigError(
+            f"unknown mg.preset {preset!r}; known: "
+            f"{sorted(MG_PRESETS)}")
+    return {**MG_PRESETS[preset], **raw_mg}
+
+
 def _build(cls, d: dict):
     kw = {}
     for f_ in dataclasses.fields(cls):
@@ -405,7 +438,7 @@ def load_config(path: str) -> RunConfig:
         gauge=_build(GaugeParams, raw.get("gauge", {})),
         action=_build(ActionParams, raw.get("action", {})),
         solver=_build(SolverParams, raw.get("solver", {})),
-        mg=_build(MGParamsCfg, raw.get("mg", {})),
+        mg=_build(MGParamsCfg, _apply_mg_preset(raw.get("mg", {}))),
         physics=_build(PhysicsParams, raw.get("physics", {})),
         mesh=_build(MeshParams, raw.get("mesh", {})),
     )
