@@ -67,22 +67,58 @@ def main():
     Tc, Zc, Yc, Xc = args.dims[3], args.dims[2], args.dims[1], args.dims[0]
     dims = (Tc, Zc, Yc, Xc)
     n = args.n
+    vol = Tc * Zc * Yc * Xc
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     links = jax.random.normal(
         k1, (2, 9, n, n, Tc, Zc, Yc * Xc), dtype=jnp.float32)
-    lvl = DeviceCoarseLevel(dims=dims, n=n, links=links)
-    v1 = jax.random.normal(k2, (2, n, Tc, Zc, Yc * Xc), jnp.float32)
-    vb = jax.random.normal(k3, (args.nrhs, 2, n, Tc, Zc, Yc * Xc),
-                           jnp.float32)
+    # production (round-5 lane-merged) layout: ONE flat site axis
+    lvl = DeviceCoarseLevel(dims=dims, n=n,
+                            links=links.reshape(2, 9, n, n, vol))
+    v1 = jax.random.normal(k2, (2, n, vol), jnp.float32)
+    vb = jax.random.normal(k3, (args.nrhs, 2, n, vol), jnp.float32)
+    v1t = v1.reshape(2, n, Tc, Zc, Yc * Xc)
+    vbt = vb.reshape(args.nrhs, 2, n, Tc, Zc, Yc * Xc)
 
-    # ---- A: production VPU broadcast-reduce --------------------------
+    # ---- A: production VPU broadcast-reduce (flat site axis) ---------
     # The level enters the jit as a traced pytree ARGUMENT:
     # closure-capturing lvl would embed the (tens-of-MB) links into the
     # HLO as constants, which the remote-compile service rejects with
     # HTTP 413 (the trap documented at mg/device.py:73-76).
     apply_vpu = DeviceCoarseLevel.apply
     apply_vpu_b = jax.vmap(DeviceCoarseLevel.apply, in_axes=(None, 0))
+
+    # ---- A': the pre-round-5 TILED layout [.., Tc, Zc, Sc] -----------
+    # (Zc, Sc) were the TPU-tiled trailing axes, padding (8, 128)/(Zc,
+    # Sc)x at f32 — 4.7x at production coarse sizes.  Kept here purely
+    # to measure the lane-merge before/after (VERDICT r4 #3).
+    def _shift_t(v, mu, sign):
+        if mu == 3:
+            return jnp.roll(v, -sign, axis=-3)
+        if mu == 2:
+            return jnp.roll(v, -sign, axis=-2)
+        if mu == 1:
+            return jnp.roll(v, -sign * Xc, axis=-1)
+        xi = jnp.arange(Yc * Xc, dtype=jnp.int32) % Xc
+        if sign == +1:
+            return jnp.where(xi == Xc - 1, jnp.roll(v, Xc - 1, axis=-1),
+                             jnp.roll(v, -1, axis=-1))
+        return jnp.where(xi == 0, jnp.roll(v, -(Xc - 1), axis=-1),
+                         jnp.roll(v, 1, axis=-1))
+
+    def _cmul_t(L, w):
+        r = (L[0] * w[0][None] - L[1] * w[1][None]).sum(axis=1)
+        i = (L[0] * w[1][None] + L[1] * w[0][None]).sum(axis=1)
+        return jnp.stack([r, i])
+
+    def apply_tiled(L, v):
+        out = _cmul_t(L[:, 8], v)
+        for mu in range(4):
+            out = out + _cmul_t(L[:, mu], _shift_t(v, mu, +1))
+            out = out + _cmul_t(L[:, 4 + mu], _shift_t(v, mu, -1))
+        return out
+
+    apply_tiled_b = jax.vmap(apply_tiled, in_axes=(None, 0))
 
     # ---- B: dot_general (site axes batched, contraction over N) -----
     def _cmul_dg(L, w):
@@ -130,32 +166,41 @@ def main():
     def apply_mxu_bf(L, w):
         return apply_mxu(L, w.astype(jnp.bfloat16))
 
-    vol = Tc * Zc * Yc * Xc
     flops1 = 9 * 4 * n * n * vol * 2      # 9 slots, complex madd, 1 RHS
+    link_bytes = 2 * 9 * n * n * vol * 4  # useful f32 link traffic/apply
+    lvl_bf = type(lvl)(dims=dims, n=n,
+                       links=lvl.links.astype(jnp.bfloat16))
     variants = [
-        ("vpu_f32_rhs1", apply_vpu, lvl, v1, flops1),
-        (f"vpu_f32_rhs{args.nrhs}", apply_vpu_b, lvl, vb,
-         flops1 * args.nrhs),
-        ("mxu_f32_rhs1", apply_mxu, links, v1[None], flops1),
-        (f"mxu_f32_rhs{args.nrhs}", apply_mxu, links, vb,
-         flops1 * args.nrhs),
-        (f"mxu_bf16_rhs{args.nrhs}", apply_mxu_bf, links_bf, vb,
-         flops1 * args.nrhs),
+        ("flat_f32_rhs1", apply_vpu, lvl, v1, flops1, link_bytes),
+        (f"flat_f32_rhs{args.nrhs}", apply_vpu_b, lvl, vb,
+         flops1 * args.nrhs, link_bytes),
+        ("flat_bf16_rhs1", apply_vpu, lvl_bf, v1, flops1,
+         link_bytes // 2),
+        ("tiled_f32_rhs1", apply_tiled, links, v1t, flops1, link_bytes),
+        (f"tiled_f32_rhs{args.nrhs}", apply_tiled_b, links, vbt,
+         flops1 * args.nrhs, link_bytes),
+        ("mxu_f32_rhs1", apply_mxu, links, v1t[None], flops1,
+         link_bytes),
+        (f"mxu_f32_rhs{args.nrhs}", apply_mxu, links, vbt,
+         flops1 * args.nrhs, link_bytes),
+        (f"mxu_bf16_rhs{args.nrhs}", apply_mxu_bf, links_bf, vbt,
+         flops1 * args.nrhs, link_bytes // 2),
     ]
     results = {}
-    for name, fn, fields, v, fl in variants:
+    for name, fn, fields, v, fl, lb in variants:
         dt = chain_and_time(fn, fields, v)
         gf = fl / dt / 1e9
         results[name] = round(gf, 1)
         print(json.dumps({"metric": f"coarse_apply[{name}]",
                           "value": round(gf, 1), "unit": "GFLOP/s",
-                          "ms": round(dt * 1e3, 3), "n": n,
-                          "dims": list(dims)}), flush=True)
-    best_vpu = max(v for k, v in results.items() if k.startswith("vpu"))
-    best_mxu = max(v for k, v in results.items() if k.startswith("mxu"))
-    print(json.dumps({"metric": "coarse_apply_vpu_over_mxu",
-                      "value": round(best_vpu / best_mxu, 3),
-                      "unit": "ratio", "n": n}))
+                          "ms": round(dt * 1e3, 3),
+                          "useful_link_gbps": round(lb / dt / 1e9, 1),
+                          "n": n, "dims": list(dims)}), flush=True)
+    print(json.dumps({
+        "metric": "coarse_apply_flat_over_tiled",
+        "value": round(results["flat_f32_rhs1"]
+                       / results["tiled_f32_rhs1"], 3),
+        "unit": "ratio (lane-merge speedup, 1 RHS f32)", "n": n}))
 
 
 if __name__ == "__main__":

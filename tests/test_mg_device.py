@@ -116,7 +116,7 @@ def test_fine_transfer_rp_identity():
     dev, tr = _fine_and_transfer()
     key = jax.random.PRNGKey(5)
     xc = jax.random.normal(
-        key, (2, tr.n_c, *tr.dims_c[:2], tr.dims_c[2] * tr.dims_c[3]),
+        key, (2, tr.n_c, tr.dims_c[0] * tr.dims_c[1] * tr.dims_c[2] * tr.dims_c[3]),
         dtype=jnp.float32)
     rt = tr.restrict(tr.prolong(xc))
     np.testing.assert_allclose(np.asarray(rt), np.asarray(xc), atol=2e-4)
@@ -128,7 +128,7 @@ def test_fine_transfer_adjoint():
     v = dev.random_field(jax.random.PRNGKey(6))
     w = jax.random.normal(
         jax.random.PRNGKey(7),
-        (2, tr.n_c, *tr.dims_c[:2], tr.dims_c[2] * tr.dims_c[3]),
+        (2, tr.n_c, tr.dims_c[0] * tr.dims_c[1] * tr.dims_c[2] * tr.dims_c[3]),
         dtype=jnp.float32)
     lhs = pk.cdot(tr.restrict(v), w)
     rhs = pk.cdot(v, tr.prolong(w))
@@ -188,7 +188,7 @@ def test_galerkin_identity_coarse_level():
     tr2 = DeviceCoarseTransfer(c1.dims, c1.n, (2, 2, 2, 2), nulls)
     xc = jax.random.normal(
         jax.random.PRNGKey(10),
-        (2, tr2.n_c, *tr2.dims_c[:2], tr2.dims_c[2] * tr2.dims_c[3]),
+        (2, tr2.n_c, tr2.dims_c[0] * tr2.dims_c[1] * tr2.dims_c[2] * tr2.dims_c[3]),
         dtype=jnp.float32)
     rt = tr2.restrict(tr2.prolong(xc))
     np.testing.assert_allclose(np.asarray(rt), np.asarray(xc), atol=2e-4)

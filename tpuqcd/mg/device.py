@@ -23,11 +23,17 @@ which remain the CPU oracle):
   - aggregate sums never transpose the big fine arrays: (spin, color,
     parity) reduce on leading axes, (t, z) blocks reshape on leading
     axes, and only a coarse-sized intermediate reshapes its lane axis;
-  - coarse levels: fields ``[2, N, Tc, Zc, Sc]`` (Sc = Yc*Xc, no parity
-    split), links ``[2, 9, N, N, Tc, Zc, Sc]`` (4 fwd + 4 bwd + diag) —
-    site axes minor, applies are VPU broadcast-reductions (the coarse
+  - coarse levels: fields ``[2, N, Vc]`` with ONE flat site axis
+    Vc = Tc*Zc*Yc*Xc (lane-merged), links ``[2, 9, N, N, Vc]`` (4 fwd +
+    4 bwd + diag) — applies are VPU broadcast-reductions (the coarse
     operator is bandwidth-bound like the fine Dslash, so elementwise
-    streaming beats an MXU re-layout);
+    streaming beats an MXU re-layout).  The flat site axis is the
+    round-5 lane-merge: TPU tiles pad the trailing two axes to (8, 128)
+    f32, and the previous ``[.., Tc, Zc, Sc]`` layout padded 4.7x at
+    production coarse sizes (Zc=6, Sc=36 -> (8, 128)), throttling the
+    dominant coarsest-level GCR to ~6% of HBM peak (BASELINE.md round-4
+    profile); merged, the pad is Vc -> ceil(Vc/128)*128 at most a few
+    percent, with N (a multiple of 8) on the sublane axis;
   - Galerkin construction by colored probing (same algorithm as the host
     mg/coarse.py) with all 17 probes of one coarse color traced into one
     jitted call.
@@ -35,7 +41,7 @@ which remain the CPU oracle):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -303,15 +309,27 @@ class DeviceFineCloverLevel:
 # coarse level
 # --------------------------------------------------------------------------
 
+@_lru_cache(maxsize=None)
+def _flat_coords(dims):
+    """Per-dim coordinate arrays on the flat Vc site axis (numpy)."""
+    Tc, Zc, Yc, Xc = dims
+    idx = np.arange(Tc * Zc * Yc * Xc)
+    return (idx // (Zc * Yc * Xc),          # t
+            (idx // (Yc * Xc)) % Zc,        # z
+            (idx // Xc) % Yc,               # y
+            idx % Xc)                       # x
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["links"], meta_fields=["dims", "n"])
 @dataclasses.dataclass
 class DeviceCoarseLevel:
     """Nearest-neighbor coarse operator, dense links, packed layout.
 
-    links [2(ri), 9, N, N, Tc, Zc, Sc]: slots 0-3 forward mu, 4-7
-    backward mu, 8 diagonal.  (A v)(y) = X[y] v(y) + sum_mu Y+_mu[y]
-    v(y+mu) + Y-_mu[y] v(y-mu) — reference dslash_coarse.cu [U].
+    links [2(ri), 9, N, N, Vc], Vc = Tc*Zc*Yc*Xc flat (lane-merged; see
+    module docstring): slots 0-3 forward mu, 4-7 backward mu, 8
+    diagonal.  (A v)(y) = X[y] v(y) + sum_mu Y+_mu[y] v(y+mu) +
+    Y-_mu[y] v(y-mu) — reference dslash_coarse.cu [U].
     Pytree: links are children (see DeviceFineLevel note).
     """
     dims: tuple[int, int, int, int]          # (Tc, Zc, Yc, Xc)
@@ -322,23 +340,33 @@ class DeviceCoarseLevel:
     def Xc(self) -> int:
         return self.dims[3]
 
+    @property
+    def Vc(self) -> int:
+        Tc, Zc, Yc, Xc = self.dims
+        return Tc * Zc * Yc * Xc
+
     def _shift(self, v, mu, sign):
-        """fetch v(x + sign*mu); v [..., Tc, Zc, Sc], Sc = Yc*Xc flat."""
+        """fetch v(x + sign*mu); v [..., Vc] flat.
+
+        The t dim is outermost in the flat index, so its periodic shift
+        is one whole-axis roll; inner dims roll by their stride with a
+        masked fix-up at the wrap boundary (same pattern as the old
+        packed-x handling, generalized to every merged dim).
+        """
+        Tc, Zc, Yc, Xc = self.dims
+        strides = (1, Xc, Yc * Xc, Zc * Yc * Xc)
+        extents = (Xc, Yc, Zc, Tc)
+        s_d, n_d = strides[mu], extents[mu]
         if mu == 3:
-            return jnp.roll(v, -sign, axis=-3)
-        if mu == 2:
-            return jnp.roll(v, -sign, axis=-2)
-        if mu == 1:
-            return jnp.roll(v, -sign * self.Xc, axis=-1)
-        Sc = v.shape[-1]
-        xi = jnp.arange(Sc, dtype=jnp.int32) % self.Xc
+            return jnp.roll(v, -sign * s_d, axis=-1)
+        coord = jnp.asarray(_flat_coords(self.dims)[3 - mu])
         if sign == +1:
-            base = jnp.roll(v, -1, axis=-1)
-            fix = jnp.roll(v, self.Xc - 1, axis=-1)
-            return jnp.where(xi == self.Xc - 1, fix, base)
-        base = jnp.roll(v, 1, axis=-1)
-        fix = jnp.roll(v, -(self.Xc - 1), axis=-1)
-        return jnp.where(xi == 0, fix, base)
+            base = jnp.roll(v, -s_d, axis=-1)
+            fix = jnp.roll(v, (n_d - 1) * s_d, axis=-1)
+            return jnp.where(coord == n_d - 1, fix, base)
+        base = jnp.roll(v, s_d, axis=-1)
+        fix = jnp.roll(v, -(n_d - 1) * s_d, axis=-1)
+        return jnp.where(coord == 0, fix, base)
 
     @staticmethod
     def _cmul(L, w):
@@ -368,15 +396,14 @@ class DeviceCoarseLevel:
         g5 = np.concatenate([np.ones(h, np.float32),
                              -np.ones(self.n - h, np.float32)])
         idx = jnp.arange(self.n)
-        add = jnp.asarray(delta * g5)[:, None, None, None]
+        add = jnp.asarray(delta * g5)[:, None]
         diag_i = self.links[1, 8].at[idx, idx].add(add)
         return dataclasses.replace(self, links=self.links.at[1, 8]
                                    .set(diag_i))
 
     def random_field(self, key) -> jax.Array:
-        return jax.random.normal(
-            key, (2, self.n, self.dims[0], self.dims[1],
-                  self.dims[2] * self.dims[3]), dtype=jnp.float32)
+        return jax.random.normal(key, (2, self.n, self.Vc),
+                                 dtype=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -412,11 +439,13 @@ class _LinvMixin:
         wd = self._wdag(r)
         rc = self._apply_linv(wd)                # [2, 2chir, n, Tc, Zc, Sc]
         s = rc.shape
-        return rc.reshape(s[0], s[1] * s[2], *s[3:])
+        # flatten to the coarse level's lane-merged site axis [2, N, Vc]
+        return rc.reshape(s[0], s[1] * s[2], s[3] * s[4] * s[5])
 
     def prolong(self, xc: jax.Array) -> jax.Array:
+        Tc, Zc, Yc, Xc = self.dims_c
         s = xc.shape
-        xc2 = xc.reshape(s[0], 2, s[1] // 2, *s[2:])
+        xc2 = xc.reshape(s[0], 2, s[1] // 2, Tc, Zc, Yc * Xc)
         return self._vmul(self._apply_linv_dag(xc2))
 
     def gram_linv(self) -> jax.Array:
@@ -553,7 +582,7 @@ class DeviceFineTransfer(_LinvMixin):
          meta_fields=["dims", "n_f", "block"])
 @dataclasses.dataclass
 class DeviceCoarseTransfer(_LinvMixin):
-    """coarse [2, N, T, Z, Sf] <-> coarser [2, 2*n_vec, Tc, Zc, Sc].
+    """coarse [2, N, Vf] (flat) <-> coarser [2, 2*n_vec, Vc] (flat).
 
     Chirality on a coarse level is the exact N/2 dof split (the
     prolongator preserves chirality at every level).  Pytree like
@@ -562,7 +591,7 @@ class DeviceCoarseTransfer(_LinvMixin):
     dims: tuple[int, int, int, int]
     n_f: int
     block: tuple[int, int, int, int]
-    v_pk: jax.Array                        # [n, 2, N, T, Z, Sf]
+    v_pk: jax.Array                        # [n, 2, N, Vf] flat
     linv: jax.Array | None = None
 
     def __post_init__(self):
@@ -587,15 +616,16 @@ class DeviceCoarseTransfer(_LinvMixin):
 
     def _wdag(self, r: jax.Array) -> jax.Array:
         q = self.v_pk
-        pr = q[:, 0] * r[0] + q[:, 1] * r[1]   # [n, N, T, Z, Sf]
+        pr = q[:, 0] * r[0] + q[:, 1] * r[1]   # [n, N, Vf]
         pi = q[:, 0] * r[1] - q[:, 1] * r[0]
-        x = jnp.stack([pr, pi], axis=1)        # [n, 2, N, T, Z, Sf]
+        x = jnp.stack([pr, pi], axis=1)        # [n, 2, N, Vf]
         h = self.n_f // 2
         x = jnp.stack([x[:, :, :h].sum(axis=2),
                        x[:, :, h:].sum(axis=2)], axis=2)
         bt, bz, by, bx = self.block
         Tc, Zc, Yc, Xc = self.dims_c
-        n, Sf = x.shape[0], x.shape[-1]
+        T, Z, Y, X = self.dims
+        n, Sf = x.shape[0], Y * X
         x = x.reshape(n, 2, 2, Tc, bt, Zc, bz, Sf).sum(axis=(4, 6))
         x = x.reshape(n, 2, 2, Tc, Zc, Yc, by, Xc, bx).sum(axis=(6, 8))
         x = x.reshape(n, 2, 2, Tc, Zc, Yc * Xc)
@@ -623,7 +653,7 @@ class DeviceCoarseTransfer(_LinvMixin):
         out_r = (vr * wr - vi * wi).sum(axis=1)
         out_i = (vr * wi + vi * wr).sum(axis=1)
         out = jnp.stack([out_r, out_i])        # [2, N, Tc, bt, Zc, bz, Sf]
-        return out.reshape(2, self.n_f, T, Z, Sf)
+        return out.reshape(2, self.n_f, T * Z * Sf)
 
 
 # --------------------------------------------------------------------------
@@ -688,12 +718,12 @@ def _probe_color(level, transfer, ek):
     level/transfer are pytree arguments (NOT closure captures — see the
     DeviceFineLevel pytree note)."""
     Tc, Zc, Yc, Xc = transfer.dims_c
-    Sc = Yc * Xc
+    Vc = Tc * Zc * Yc * Xc
     n_c = transfer.n_c
     colors_np, n_col = _coarse_colors(transfer.dims_c)
-    colors = jnp.asarray(colors_np)
-    base = jnp.zeros((2, n_c, Tc, Zc, Sc), jnp.float32)
-    base = base.at[0].set(ek[:, None, None, None])
+    colors = jnp.asarray(colors_np.reshape(-1))     # flat [Vc]
+    base = jnp.zeros((2, n_c, Vc), jnp.float32)
+    base = base.at[0].set(ek[:, None])
     hop_all = getattr(level, "apply_hop_all", None)
 
     def legs_of(vf):
@@ -710,7 +740,7 @@ def _probe_color(level, transfer, ek):
 
     acc = jax.lax.fori_loop(
         0, n_col, body,
-        jnp.zeros((8, 2, n_c, Tc, Zc, Sc), jnp.float32))
+        jnp.zeros((8, 2, n_c, Vc), jnp.float32))
     fwd = [None] * 4
     bwd = [None] * 4
     for idx, (m, sgn) in enumerate(_LEG_ORDER):

@@ -109,9 +109,16 @@ def load_device_mg(path: str, fine_level, params):
             tr = DeviceFineTransfer(fine_level.lat, block, v, linv)
         else:
             tr = DeviceCoarseTransfer(level.dims, level.n, block, v, linv)
+        links = z[f"c{i}_links"]
+        if links.ndim != 5:
+            raise ValueError(
+                f"{path}: coarse links have rank {links.ndim}; this "
+                "dump predates the lane-merged coarse layout "
+                "([2, 9, N, N, Vc], round 5) — regenerate the MG "
+                "checkpoint (drop vec_infile for one run)")
         coarse = DeviceCoarseLevel(
             dims=tuple(int(d) for d in z[f"c{i}_dims"]),
-            n=int(z[f"c{i}_n"]), links=jnp.asarray(z[f"c{i}_links"]))
+            n=int(z[f"c{i}_n"]), links=jnp.asarray(links))
         mg.transfers.append(tr)
         mg.levels.append(coarse)
         level = coarse
