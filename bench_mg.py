@@ -119,7 +119,11 @@ def main():
     ap.add_argument("--with-cg", action="store_true")
     ap.add_argument("--cg-only", action="store_true",
                     help="skip MG entirely (kappa scans of plain CG)")
-    ap.add_argument("--cg-maxiter", type=int, default=20000)
+    ap.add_argument("--cg-maxiter", type=int, default=60000)
+    ap.add_argument("--cg-exec-chunk", type=int, default=5000,
+                    help="CG iterations per XLA execution (bounds "
+                         "device time per call; the remote worker "
+                         "kills multi-minute executions)")
     ap.add_argument("--nrhs", type=int, default=0,
                     help="also time the batched multi-RHS production "
                          "path (N columns through one vmapped stream)")
@@ -128,6 +132,17 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--coarse-dtype", default=None,
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--gcr-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="outer GCR basis storage (bf16 halves the "
+                         "2*restart-field workspace; needed at 32^3x64 "
+                         "restart>=12 on one v5e)")
+    ap.add_argument("--vec-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="transfer null-vector storage after setup")
+    ap.add_argument("--hp", default=None, choices=["float64", "df64"],
+                    help="true-residual certification operator (df64 = "
+                         "on-chip double-single; lighter HBM)")
     # MG cycle/tuning knobs (DeviceMGParams); None = from the preset
     ap.add_argument("--setup-solver", default=None,
                     choices=["bicgstab", "cgne"])
@@ -202,6 +217,7 @@ def main():
         coarse_iters=args.coarse_iters, restart=args.restart,
         mu_factor=args.mu_factor, smoother_dtype=args.smoother_dtype,
         setup_solver=args.setup_solver, coarse_dtype=args.coarse_dtype,
+        gcr_dtype=args.gcr_dtype, vec_dtype=args.vec_dtype,
         inner_tol=args.inner_tol).items() if v is not None}
     params = _dc.replace(base, n_vec=n_vec, block=blocks, **over)
     args.inner_tol = params.inner_tol
@@ -228,10 +244,12 @@ def main():
         return
 
     # warm the solve path (compiles), then time
+    hp = args.hp or "float64"
     res = solve_tm_mg(mg, b_pk, tol=args.tol, inner_tol=args.inner_tol,
-                      verbose=True)
+                      verbose=True, hp=hp)
     t0 = time.perf_counter()
-    res = solve_tm_mg(mg, b_pk, tol=args.tol, inner_tol=args.inner_tol)
+    res = solve_tm_mg(mg, b_pk, tol=args.tol, inner_tol=args.inner_tol,
+                      hp=hp)
     t_solve = time.perf_counter() - t0
     print(json.dumps({
         "metric": "mg_solve_wallclock_1e10",
@@ -325,17 +343,37 @@ def _profile_cycle(mg, b_pk):
 def _run_cg(args, lat, u_pk, b_pk, t_mg_solve=None, t_mg_batch=None):
     from tpuqcd.solve import solve_tm
 
+    # CHUNKED executions: one monolithic solve at near-critical kappa
+    # is O(10^4-10^5) CG iterations = many minutes of uninterrupted
+    # device time, which the remote TPU worker kills as hung (measured:
+    # "UNAVAILABLE: TPU device error" at 32^3x64 kappa=0.157, round 5 —
+    # the same failure class as the round-4 heatbath crash).  Defect
+    # correction restarts exactly from any iterate (solve_tm x0_e), so
+    # the solve runs as ceil(iters/chunk) bounded executions of ONE
+    # compiled program.
+    chunk = getattr(args, "cg_exec_chunk", 5000)
+
     @jax.jit
-    def cg_jit(u_a, b_a):
+    def cg_jit(u_a, b_a, x0_e):
         r = solve_tm(u_a, b_a, lat, kappa=args.kappa, mu=args.mu,
-                     tol=args.tol, maxiter=args.cg_maxiter)
+                     tol=args.tol, maxiter=chunk, x0_e=x0_e)
         return r.x, r.relres, r.iters
 
-    x, rel, it = cg_jit(u_pk, b_pk)  # warm/compile
-    jax.block_until_ready(x)
+    def cg_solve():
+        x0_e = jnp.zeros(b_pk.shape[1:], jnp.float64)
+        total = 0
+        for _ in range(max(1, -(-args.cg_maxiter // chunk))):
+            x, rel, it = cg_jit(u_pk, b_pk, x0_e)
+            total += int(it)
+            if float(rel) <= args.tol:
+                break
+            x0_e = x[0]
+        jax.block_until_ready(x)
+        return x, float(rel), total
+
+    x, rel, it = cg_solve()  # warm/compile
     t0 = time.perf_counter()
-    x, rel, it = cg_jit(u_pk, b_pk)
-    jax.block_until_ready(x)
+    x, rel, it = cg_solve()
     t_cg = time.perf_counter() - t0
     line = {"metric": "cg_solve_wallclock_1e10", "value": round(t_cg, 3),
             "unit": "s", "relres": float(rel), "iters": int(it),

@@ -337,3 +337,27 @@ def test_device_mg_clover_solve():
     x, rel, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
                                        max_refine=25)
     assert rel <= 1e-10, rel
+
+
+def test_device_mg_solve_certified_df64():
+    """hp='df64' certification (on-chip double-single residuals,
+    mg/dsolve._solve_certified_df64) reaches the same 1e-10 true
+    residual as the f64 path — verified against the INDEPENDENT f64
+    operator (VERDICT r4 #1 at MG scope)."""
+    u = _gauge()
+    dev = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU, backend="xla")
+    params = DeviceMGParams(n_vec=(3,), block=((2, 2, 2, 2),),
+                            setup_iters=25, smoother_iters=3,
+                            coarse_iters=16, restart=6)
+    mg = DeviceMG(dev, params)
+    b = dev.random_field(jax.random.PRNGKey(31))
+    x, rel10, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
+                                         max_refine=20, hp="df64")
+    assert rel10 <= 1e-10, rel10
+    # independent f64 certification of the df64-certified iterate
+    hp = dev.as_hp()
+    r = b.astype(jnp.float64) - hp.apply(x)
+    rel = float(pk.norm2(r, dtype=jnp.float64)
+                / pk.norm2(b.astype(jnp.float64),
+                           dtype=jnp.float64)) ** 0.5
+    assert rel <= 2e-10, rel

@@ -74,6 +74,16 @@ class DeviceMGParams:
     #: as the winner (fewer defect-correction restarts re-entering a
     #: stalled preconditioner; BASELINE.md round-4 ladder 1.02x -> 1.29x)
     inner_tol: float = 1e-5
+    #: "bfloat16" stores the outer flexible-GCR direction buffers (Z, V)
+    #: in bf16 — the dominant solver workspace, 2 * restart fine fields
+    #: (19.3 GB in f32 at 32^3x64 restart 24, alone over a v5e's HBM).
+    #: Arithmetic stays f32; see solvers/krylov_pk._gcr_cycle.
+    gcr_dtype: str = "float32"
+    #: "bfloat16" stores the transfer null vectors v_pk in bf16 after
+    #: setup (n_vec fine fields: 6.4 GB f32 at 32^3x64 n_vec 16).
+    #: Affects only the preconditioner's restrict/prolong (Linv stays
+    #: f32); absorbed like the bf16 smoother.
+    vec_dtype: str = "float32"
 
     @classmethod
     def near_critical(cls, levels: int = 2) -> "DeviceMGParams":
@@ -144,6 +154,11 @@ class DeviceMG:
                 dataclasses.replace(
                     lvl, links=lvl.links.astype(jnp.bfloat16))
                 for lvl in self.levels[1:]]
+        if params.vec_dtype == "bfloat16":
+            self.transfers = [
+                dataclasses.replace(
+                    tr, v_pk=tr.v_pk.astype(jnp.bfloat16))
+                for tr in self.transfers]
         self.sloppy_fine = (fine.sloppy(jnp.bfloat16)
                             if params.smoother_dtype == "bfloat16"
                             else None)
@@ -226,6 +241,10 @@ class DeviceMG:
         """One V-cycle ~ A^{-1} r (traced; use inside flexible GCR)."""
         return self._vcycle(self.state, 0, r)
 
+    def _basis_dtype(self):
+        return (jnp.bfloat16 if self.params.gcr_dtype == "bfloat16"
+                else None)
+
     # jitted solve machinery is built ONCE and cached — rebuilding the
     # lambdas per solve() call would miss the jit cache (keyed on
     # function identity) and recompile every defect-correction refine.
@@ -251,7 +270,7 @@ class DeviceMG:
                     x, r = _gcr_cycle(
                         lambda v: _apply_jit(state[0][0], v),
                         lambda v: self._vcycle(state, 0, v), x, r,
-                        p.restart)
+                        p.restart, basis_dtype=self._basis_dtype())
                     return (x, r, pk.norm2(r), it + p.restart)
 
                 x = jnp.zeros_like(b)
@@ -281,7 +300,7 @@ class DeviceMG:
                     return _gcr_cycle(
                         lambda v: _apply_jit(state[0][0], v),
                         lambda v: self._vcycle(state, 0, v), x1, r1,
-                        p.restart)
+                        p.restart, basis_dtype=self._basis_dtype())
 
                 def cond(st):
                     x, r, rsq, it = st
@@ -412,15 +431,25 @@ class DeviceMG:
                            converged=relres <= tol)
 
     def solve_certified(self, b, *, tol=1e-10, inner_tol=None,
-                        maxiter=200, max_refine=12, verbose=False):
+                        maxiter=200, max_refine=12, verbose=False,
+                        hp="float64"):
         """Defect correction to the f64 *true* residual (the contract's
         "MG solve to 1e-10", SURVEY.md §8.3 hard part #1).
 
         inner_tol=None uses params.inner_tol (so presets carry their
-        tuned value).  Returns (x_f64, relres, total_inner_iters).
+        tuned value).  hp="df64" computes the true residuals with the
+        ON-CHIP double-single operator (ops/dslash_df64.py, leg-staged)
+        instead of XLA's emulated f64 — required at volumes where the
+        f64 fine operator does not fit HBM (48^3x96 on one v5e;
+        BASELINE.md round 5).  Returns (x_f64, relres,
+        total_inner_iters).
         """
         if inner_tol is None:
             inner_tol = self.params.inner_tol
+        if hp == "df64":
+            return self._solve_certified_df64(
+                b, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+                max_refine=max_refine, verbose=verbose)
         fine = self.levels[0]
         # f32 gauge/clover entries promote EXACTLY into the f64 products,
         # so the high-precision operator keeps the f32 data (an f64 gauge
@@ -473,3 +502,57 @@ class DeviceMG:
             _, rsq = residual_hp(hp, x, b64)
             rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
         return x * bnorm, rel, total
+
+    def _solve_certified_df64(self, b, *, tol, inner_tol, maxiter,
+                              max_refine, verbose):
+        """df64 twin of solve_certified: x as an (hi, lo) f32 pair, true
+        residuals via the leg-staged FullTMOperatorDF64 — no f64 field
+        or gauge buffer ever materializes (SURVEY.md §8.3 hard part #1
+        at flagship volume)."""
+        from ..ops.dslash_df64 import FullTMOperatorDF64
+        from ..utils import df64 as df
+        fine = self.levels[0]
+        if (not hasattr(fine, "u_pk") or not hasattr(fine, "kappa")
+                or getattr(fine, "csw", None)):
+            raise NotImplementedError(
+                "hp='df64' supports the single-chip plain-TM fine level "
+                "(clover/sharded df64 apply not implemented; use "
+                "hp='float64')")
+        op = FullTMOperatorDF64(fine.lat, fine.kappa, fine.mu,
+                                fine.flavor)
+        u_pk = fine.u_pk
+        b32 = b.astype(jnp.float32)
+        bsq0 = float(pk.norm2(b32, dtype=jnp.float64))
+        if bsq0 == 0.0:
+            return b32.astype(jnp.float64), 0.0, 0
+        bnorm = bsq0 ** 0.5
+        # normalize INSIDE df64 so the rescale costs no f32 rounding of
+        # the certified system (see solve_certified's normalization note)
+        b_df = jax.jit(lambda bb: df.mul_s(
+            (bb, jnp.zeros_like(bb)), df.scalar(1.0 / bnorm)))(b32)
+        x_df = (jnp.zeros_like(b32), jnp.zeros_like(b32))
+        total = 0
+        rel = 1.0
+        for it in range(max_refine):
+            t0 = time.perf_counter()
+            r_df, rsq = op.residual_staged(u_pk, x_df, b_df)
+            rel = float(rsq) ** 0.5
+            t_res = time.perf_counter() - t0
+            if rel <= tol:
+                if verbose:
+                    print(f"[mg] refine {it}: true relres {rel:.3e} "
+                          f"({total} inner iters, df64)")
+                break
+            t0 = time.perf_counter()
+            res = self.solve(r_df[0], tol=inner_tol, maxiter=maxiter)
+            total += res.iters
+            x_df = jax.jit(df.add_f)(x_df, res.x)
+            if verbose:
+                print(f"[mg] refine {it}: true relres {rel:.3e} "
+                      f"(df64 residual {t_res:.2f}s, inner {res.iters} "
+                      f"iters {time.perf_counter() - t0:.2f}s)")
+        else:
+            _, rsq = op.residual_staged(u_pk, x_df, b_df)
+            rel = float(rsq) ** 0.5
+        x = jax.jit(df.to_f64)(x_df) * bnorm
+        return x, rel, total

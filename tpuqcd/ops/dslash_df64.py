@@ -334,7 +334,48 @@ class TMOperatorPCDF64:
         return _axpy_jit(b_e, d, k)
 
 
+@dataclasses.dataclass(frozen=True)
+class FullTMOperatorDF64:
+    """FULL-lattice (two-parity) TM operator M = (1 + 2 i kappa mu f
+    g5) - kappa D in df64 — the certification twin of
+    mg/device.DeviceFineLevel (fields [2(ri), 2(par), 4, 3, T, Z, S]
+    as (hi, lo) pairs).  Used by the MG defect-correction loop at
+    volumes where the emulated-f64 fine operator does not fit HBM
+    (mg/dsolve.solve_certified hp="df64")."""
+    lat: Lattice
+    kappa: float
+    mu: float = 0.0
+    flavor: int = +1
+
+    @staticmethod
+    def _split(v_df):
+        hi_a, lo_a = v_df
+        return ((hi_a[:, 0], lo_a[:, 0]), (hi_a[:, 1], lo_a[:, 1]))
+
+    def apply_staged(self, u_pk, v_df, legs_per_call: int = 2):
+        ve, vo = self._split(v_df)
+        de = _dslash_df_staged(u_pk, vo, 1, self.lat, False,
+                               legs_per_call)     # even result
+        do = _dslash_df_staged(u_pk, ve, 0, self.lat, False,
+                               legs_per_call)     # odd result
+        oe = _full_site_jit(ve, de, self.kappa, self.mu, self.flavor)
+        oo = _full_site_jit(vo, do, self.kappa, self.mu, self.flavor)
+        return (jnp.stack([oe[0], oo[0]], axis=1),
+                jnp.stack([oe[1], oo[1]], axis=1))
+
+    def residual_staged(self, u_pk, x_df, b_df, legs_per_call: int = 2):
+        mx = self.apply_staged(u_pk, x_df, legs_per_call=legs_per_call)
+        return _sub_norm_jit(b_df, mx)
+
+
 from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("kappa", "mu", "flavor"))
+def _full_site_jit(v_df, d_df, kappa, mu, flavor):
+    """twist(v) - kappa * d in df64 (one parity)."""
+    return df.sub(twist_apply_df(v_df, kappa, mu, flavor),
+                  df.mul_s(d_df, df.scalar(kappa)))
 
 
 @_partial(jax.jit, static_argnames=("parity", "lat", "dirs", "dagger"))

@@ -34,11 +34,13 @@ class SolveResult(NamedTuple):
 
 
 def _refined_solve(pc_sloppy, pc_hp, u_s, u_hp, bhat_hp, *, tol, maxiter,
-                   inner_tol, solver):
+                   inner_tol, solver, x0=None):
     """Defect-correction loop: sloppy Krylov inner, f64 true residuals.
 
     u_s / u_hp are opaque operator operands (a gauge array, or the
-    (gauge, clover...) tuple of PackedTMCloverOperatorPC)."""
+    (gauge, clover...) tuple of PackedTMCloverOperatorPC).  x0: warm
+    start (defect correction restarts exactly from any iterate — used
+    to chunk very long solves into bounded XLA executions)."""
     bsq = norm2(bhat_hp)
     tol2 = (tol * tol) * bsq
     sdt = jax.tree_util.tree_leaves(u_s)[0].dtype
@@ -69,8 +71,13 @@ def _refined_solve(pc_sloppy, pc_hp, u_s, u_hp, bhat_hp, *, tol, maxiter,
         r_new = bhat_hp - pc_hp.apply(u_hp, x)
         return (x, norm2(r_new), k + used + 2, nref + 1)
 
-    x0 = jnp.zeros_like(bhat_hp)
-    st = (x0, bsq * jnp.float64(4.0), jnp.int32(0), jnp.int32(0))
+    if x0 is None:
+        x0 = jnp.zeros_like(bhat_hp)
+        rsq0 = bsq * jnp.float64(4.0)
+    else:
+        x0 = x0.astype(bhat_hp.dtype)
+        rsq0 = norm2(bhat_hp - pc_hp.apply(u_hp, x0))
+    st = (x0, rsq0, jnp.int32(0), jnp.int32(0))
     x, rsq, k, _ = jax.lax.while_loop(cond, body, st)
     return x, jnp.sqrt(rsq / jnp.maximum(bsq, 1e-300)), k
 
@@ -99,7 +106,8 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
              sloppy_dtype=jnp.float32, backend: str = "pallas",
              interpret: bool = False, csw: float = 0.0,
              clover=None, t_boundary: int = -1,
-             hp_gauge: str = "float64") -> SolveResult:
+             hp_gauge: str = "float64",
+             x0_e: jax.Array | None = None) -> SolveResult:
     """Solve the full (two-parity) twisted-mass(-clover) system M x = b.
 
     u_pk: packed gauge [4,2,3,3,2,T,Z,S] (any float dtype; cast as needed).
@@ -118,6 +126,10 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     fit one v5e comfortably.
     Do NOT use it to truncate a genuinely f64 gauge (ADVICE r3: that
     floors the certified residual at the f32 rounding, ~1e-7).
+    x0_e: warm start for the even-parity Schur iterate (e.g. a previous
+    SolveResult's x[0]) — lets callers chunk a very long solve into
+    bounded XLA executions (the remote TPU worker kills executions
+    running longer than ~minutes; see BASELINE.md round-5 crash record).
     """
     hp = jnp.float64
     hp_g = jnp.float64 if hp_gauge == "float64" else jnp.float32
@@ -149,7 +161,7 @@ def solve_tm(u_pk: jax.Array, b_pk: jax.Array, lat: Lattice, *,
     bhat = pc_hp.prepare(u_hp, b_hp)
     x_e, relres, iters = _refined_solve(
         pc_s, pc_hp, u_s, u_hp, bhat, tol=tol, maxiter=maxiter,
-        inner_tol=inner_tol, solver=solver)
+        inner_tol=inner_tol, solver=solver, x0=x0_e)
     x = pc_hp.reconstruct(u_hp, x_e, b_hp)
     return SolveResult(x=x, relres=relres, iters=iters)
 
@@ -432,17 +444,19 @@ def setup_multigrid(u_pk: jax.Array, lat: Lattice, *, kappa: float,
 
 def solve_tm_mg(mg, b_pk: jax.Array, *, tol: float = 1e-10,
                 inner_tol: float | None = None, maxiter: int = 200,
-                verbose: bool = False) -> SolveResult:
+                verbose: bool = False, hp: str = "float64") -> SolveResult:
     """MG-preconditioned solve of the *full* (two-parity) TM system
     M x = b on the device hierarchy from :func:`setup_multigrid`.
 
     b_pk: packed source [2(par), 2(ri), 4, 3, T, Z, S]; returns x in the
     same parity-first layout (f64), with the certified true residual.
+    hp="df64" certifies with the on-chip double-single operator (for
+    volumes where the emulated-f64 fine operator exceeds HBM).
     """
     b_mg = jnp.swapaxes(b_pk.astype(jnp.float32), 0, 1)
     x, relres, iters = mg.solve_certified(
         b_mg, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
-        verbose=verbose)
+        verbose=verbose, hp=hp)
     return SolveResult(x=jnp.swapaxes(x, 0, 1), relres=relres,
                        iters=iters)
 

@@ -60,12 +60,22 @@ def cg_fixed_pk(matvec: Callable, b: jax.Array, iters: int) -> jax.Array:
     return jax.lax.fori_loop(0, iters, body, st)[0]
 
 
-def _gcr_cycle(matvec: Callable, precond: Callable, x, r, m: int):
+def _gcr_cycle(matvec: Callable, precond: Callable, x, r, m: int,
+               basis_dtype=None):
     """One flexible-GCR restart cycle of m iterations, fully traced with
     lax loops and stacked (Z, V) direction buffers — the graph contains
     ONE matvec/precond instance regardless of m (essential when the
-    preconditioner is a whole MG V-cycle)."""
-    Z = jnp.zeros((m, *x.shape), x.dtype)
+    preconditioner is a whole MG V-cycle).
+
+    basis_dtype: storage dtype of the (Z, V) direction buffers —
+    "bfloat16" halves the dominant solver workspace (2 * m fields; at
+    32^3x64 restart 24 that is 19.3 GB in f32, over a v5e's HBM by
+    itself).  Arithmetic stays f32 (mixed-dtype ops promote); the basis
+    truncation only perturbs the *preconditioned search directions*,
+    which flexible GCR + the outer defect correction absorb — the same
+    argument as the bf16 smoother/coarse links (mg/dsolve)."""
+    bdt = basis_dtype or x.dtype
+    Z = jnp.zeros((m, *x.shape), bdt)
     V = jnp.zeros_like(Z)
 
     def body(i, st):
@@ -75,9 +85,9 @@ def _gcr_cycle(matvec: Callable, precond: Callable, x, r, m: int):
 
         def ortho(j, zv):
             z, v = zv
-            br, bi = pk.cdot(V[j], v)
-            return (pk.caxpy(-br, -bi, Z[j], z),
-                    pk.caxpy(-br, -bi, V[j], v))
+            br, bi = pk.cdot(V[j].astype(v.dtype), v)
+            return (pk.caxpy(-br, -bi, Z[j].astype(z.dtype), z),
+                    pk.caxpy(-br, -bi, V[j].astype(v.dtype), v))
 
         z, v = jax.lax.fori_loop(0, i, ortho, (z, v))
         inv = 1.0 / jnp.sqrt(jnp.maximum(pk.norm2(v), 1e-30))
@@ -85,7 +95,8 @@ def _gcr_cycle(matvec: Callable, precond: Callable, x, r, m: int):
         ar, ai = pk.cdot(v, r)
         x = pk.caxpy(ar, ai, z, x)
         r = pk.caxpy(-ar, -ai, v, r)
-        return (x, r, Z.at[i].set(z), V.at[i].set(v))
+        return (x, r, Z.at[i].set(z.astype(bdt)),
+                V.at[i].set(v.astype(bdt)))
 
     x, r, _, _ = jax.lax.fori_loop(0, m, body, (x, r, Z, V))
     return x, r
