@@ -80,3 +80,26 @@ def test_solve_tm_bf16_sloppy():
                    sloppy_dtype=jnp.bfloat16, inner_tol=3e-2,
                    backend="xla")
     assert float(res.relres) < 1e-8, float(res.relres)
+
+
+@pytest.mark.slow
+def test_solve_tm_x0_warm_start_chunked():
+    """Chunked executions via x0_e: two maxiter-limited calls restarting
+    from the previous iterate reach the same certified tolerance as one
+    long call (the bounded-execution pattern production uses at
+    near-critical kappa — the remote TPU worker kills multi-minute
+    single executions; BASELINE.md round-5 crash record)."""
+    u_pk, b_pk = _problem()
+    full = solve_tm(u_pk, b_pk, LAT, kappa=KAPPA, mu=MU, tol=1e-10,
+                    backend="xla")
+    total_iters = int(full.iters)
+    chunk = max(4, total_iters // 2)
+    r1 = solve_tm(u_pk, b_pk, LAT, kappa=KAPPA, mu=MU, tol=1e-10,
+                  maxiter=chunk, backend="xla")
+    assert float(r1.relres) > 1e-10          # genuinely mid-solve
+    r2 = solve_tm(u_pk, b_pk, LAT, kappa=KAPPA, mu=MU, tol=1e-10,
+                  backend="xla", x0_e=r1.x[0])
+    assert float(r2.relres) <= 1e-10
+    # the warm-started leg does roughly the remaining work, not a
+    # from-scratch solve
+    assert int(r2.iters) < total_iters
