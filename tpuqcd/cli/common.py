@@ -698,7 +698,34 @@ def make_solver(cfg, lat, u_pk, u_full):
 
     def solve_pk_src_batch(b_pks, flavor=+1):
         """vmapped multi-RHS mixed-precision solve (one iteration
-        stream for all columns; SURVEY.md §8.4)."""
+        stream for all columns; SURVEY.md §8.4) — with the automatic
+        near-critical gate: the batched CG stream measured ~5x SLOWER
+        per RHS than sequential at high iteration counts (mechanism
+        measured in BASELINE.md round 5: per-lockstep-iteration cost
+        inflates ~5x beyond the 12x work; the MG-batched path is
+        unaffected), so the FIRST column is solved sequentially and its
+        iteration count decides the remainder."""
+        n = b_pks.shape[0]
+        gate = int(getattr(cfg.solver, "rhs_batch_gate_iters", 1500))
+        gate_chunk = int(getattr(cfg.solver, "rhs_batch_gate_chunk", 4))
+        lead = None
+        batch_n = rhs_batch
+        if n > 1 and rhs_batch > gate_chunk and gate > 0:
+            b0 = jax.device_put(b_pks[0], accel())
+            x0, rel0, it0 = _solve_jit(u_pk, clover, b0, int(flavor))
+            log.info("  solve: relres=%.2e iters=%d (batch-gate probe)",
+                     float(rel0), int(it0))
+            if int(it0) > gate:
+                log.info(
+                    "  batch gate: %d iters > %d — high-iteration "
+                    "regime where wide batched-CG efficiency collapses "
+                    "(measured per-lockstep-iteration 0.39/0.39/0.66/"
+                    "3.31 ms at n=1/2/4/12, BASELINE.md round 5); "
+                    "re-chunking the remaining %d columns to %d",
+                    int(it0), gate, n - 1, gate_chunk)
+                batch_n = gate_chunk
+            lead = x0
+
         def chunk(bs, fl):
             bs = jax.device_put(bs, accel())
             x, relres, iters = _solve_jit_b(u_pk, clover, bs, int(fl))
@@ -707,7 +734,15 @@ def make_solver(cfg, lat, u_pk, u_full):
                      int(jnp.max(iters)))
             return x
 
-        return _chunked_batch(chunk, b_pks, flavor)
+        rest_b = b_pks[1:] if lead is not None else b_pks
+        outs = []
+        for lo in range(0, rest_b.shape[0], batch_n):
+            outs.append(chunk(rest_b[lo:lo + batch_n], flavor))
+        rest = jnp.concatenate(outs, axis=0) if outs else None
+        if lead is not None:
+            return (jnp.concatenate([lead[None], rest], axis=0)
+                    if rest is not None else lead[None])
+        return rest
 
     solve.packed = solve_pk
     solve.packed_src = solve_pk_src

@@ -94,6 +94,17 @@ class SolverParams:
     #: programs) use 3 — 6 compiles to 19.1 GB vs the 15.75 GB HBM
     #: (measured OOM).
     rhs_batch: int = 12
+    #: automatic gate for the NON-MG batched propagator path: the first
+    #: column solves sequentially, and if its iteration count exceeds
+    #: this the remaining columns run in rhs_batch_gate_chunk-sized
+    #: batches instead of rhs_batch-wide ones.  Measured (BASELINE.md
+    #: round 5): per-lockstep-iteration cost 0.39/0.39/0.66/3.31 ms at
+    #: n_rhs = 1/2/4/12 in the ~7000-iteration regime — wide batches
+    #: collapse superlinearly (n=4 is the sweet spot at 0.166
+    #: ms/RHS-iter) while at ~300 iterations n=12 gains 1.9x.  The
+    #: MG-batched path is unaffected.  0 disables the gate.
+    rhs_batch_gate_iters: int = 1500
+    rhs_batch_gate_chunk: int = 4
     #: multi-chip Dslash communication policy (reference dslash_policy
     #: autotune, SURVEY.md C7): "fused" = halo-exchange + fused kernel,
     #: "overlap" = interior/exterior split with slab repairs, "auto" =
