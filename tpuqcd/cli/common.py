@@ -365,7 +365,9 @@ def make_solver(cfg, lat, u_pk, u_full):
                                 mu_factor=cfg.mg.mu_factor,
                                 setup_solver=cfg.mg.setup_solver,
                                 smoother_dtype=cfg.mg.smoother_dtype,
-                                coarse_dtype=cfg.mg.coarse_dtype)
+                                coarse_dtype=cfg.mg.coarse_dtype,
+                                gcr_dtype=cfg.mg.gcr_dtype,
+                                vec_dtype=cfg.mg.vec_dtype)
         if lmesh is not None and (cfg.mg.vec_infile or cfg.mg.vec_outfile):
             raise NotImplementedError(
                 "mg.vec_infile/vec_outfile checkpointing is single-chip; "

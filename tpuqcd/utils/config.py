@@ -143,6 +143,11 @@ class MGParamsCfg:
     #: stay f32) — halves the dominant V-cycle traffic; see
     #: mg/dsolve.DeviceMGParams.coarse_dtype
     coarse_dtype: str = "float32"
+    #: "bfloat16" stores the outer GCR direction buffers / the transfer
+    #: null vectors in bf16 — HBM-bound volumes (32^3x64 on one v5e
+    #: needs both + restart <= 16; BASELINE.md round 5)
+    gcr_dtype: str = "float32"
+    vec_dtype: str = "float32"
     vec_outfile: Optional[str] = None    # null-vector dump (checkpoint)
     vec_infile: Optional[str] = None
 
@@ -253,6 +258,11 @@ def validate_config(cfg: "RunConfig") -> None:
     if cfg.solver.backend not in ("pallas", "xla"):
         err(f"solver.backend must be pallas | xla, "
             f"got {cfg.solver.backend!r}")
+    for fld in ("smoother_dtype", "coarse_dtype", "gcr_dtype",
+                "vec_dtype"):
+        v = getattr(cfg.mg, fld)
+        if v not in ("float32", "bfloat16"):
+            err(f"mg.{fld} must be float32 | bfloat16, got {v!r}")
     if cfg.solver.comm_policy not in ("auto", "fused", "overlap"):
         err(f"solver.comm_policy must be auto | fused | overlap, "
             f"got {cfg.solver.comm_policy!r}")
