@@ -157,9 +157,13 @@ def _heatbath_chain_members(cfg):
         plaq = float(plaquette(u_dev, lat))
         path = os.path.join(
             out_dir, f"hb_b{g.heatbath_beta:g}_{i:04d}.lime")
+        # split-real D2H (complex64 fetch dies UNIMPLEMENTED on axon)
+        re, im = jax.jit(lambda x: (jnp.real(x), jnp.imag(x)))(u_dev)
+        re = jax.device_put(re, cpu)
+        im = jax.device_put(im, cpu)
         with jax.default_device(cpu):
-            u_full = gauge_eo_to_full(
-                gauge_from_device(jax.device_put(u_dev, cpu), lat), lat)
+            u_h = jax.lax.complex(re, im)
+            u_full = gauge_eo_to_full(gauge_from_device(u_h, lat), lat)
             write_ildg_gauge(path, np.asarray(u_full), lat)
         log.info("heatbath chain member %d -> %s (plaquette %.8f)",
                  i, path, plaq)
@@ -204,7 +208,14 @@ def setup_gauge(cfg):
             u_hb = thermalize(jax.random.PRNGKey(cfg.gauge.random_seed),
                               lat, cfg.gauge.heatbath_beta,
                               cfg.gauge.heatbath_sweeps, u0=u0)
-            u_hb = jax.device_put(u_hb, cpu)  # full layout is host-only
+            # fetch as SPLIT REALS: complex64 D2H dies UNIMPLEMENTED on
+            # the axon backend (same workaround as bench_mg's gauge
+            # cache); rebuild the complex array on the host
+            re, im = jax.jit(lambda x: (jnp.real(x), jnp.imag(x)))(u_hb)
+            re = jax.device_put(re, cpu)
+            im = jax.device_put(im, cpu)
+            with jax.default_device(cpu):
+                u_hb = jax.lax.complex(re, im)
             u_full = gauge_eo_to_full(gauge_from_device(u_hb, lat), lat)
             log.info("heatbath gauge dims=%s beta=%.3f sweeps=%d seed=%d",
                      lat.dims, cfg.gauge.heatbath_beta,
