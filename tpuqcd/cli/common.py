@@ -147,22 +147,28 @@ def _heatbath_chain_members(cfg):
         os.path.dirname(cfg.physics.output) or ".", "ensemble")
     os.makedirs(out_dir, exist_ok=True)
     cpu = jax.devices("cpu")[0]
-    u0 = jax.device_put(su3.unit_gauge_dev(lat), accel())
+    # born on the accelerator, not shipped (complex device_put dies
+    # UNIMPLEMENTED on axon — see setup_gauge)
+    with jax.default_device(accel()):
+        u0 = jax.jit(lambda: su3.unit_gauge_dev(lat))()
     members = []
     gen = generate_ensemble(jax.random.PRNGKey(g.random_seed), lat,
                             g.heatbath_beta, g.heatbath_n_cfg,
                             n_therm=g.heatbath_sweeps,
                             n_skip=g.heatbath_skip, u0=u0)
     for i, u_dev in enumerate(gen):
-        plaq = float(plaquette(u_dev, lat))
+        with jax.default_device(accel()):
+            plaq = float(plaquette(u_dev, lat))
         path = os.path.join(
             out_dir, f"hb_b{g.heatbath_beta:g}_{i:04d}.lime")
-        # split-real D2H (complex64 fetch dies UNIMPLEMENTED on axon)
-        re, im = jax.jit(lambda x: (jnp.real(x), jnp.imag(x)))(u_dev)
-        re = jax.device_put(re, cpu)
-        im = jax.device_put(im, cpu)
+        # split INSIDE the accel context + np.asarray fetch (complex64
+        # transfers die UNIMPLEMENTED on axon; see setup_gauge)
+        with jax.default_device(accel()):
+            re, im = jax.jit(lambda x: (jnp.real(x),
+                                        jnp.imag(x)))(u_dev)
+        re_h, im_h = np.asarray(re), np.asarray(im)
         with jax.default_device(cpu):
-            u_h = jax.lax.complex(re, im)
+            u_h = jax.lax.complex(jnp.asarray(re_h), jnp.asarray(im_h))
             u_full = gauge_eo_to_full(gauge_from_device(u_h, lat), lat)
             write_ildg_gauge(path, np.asarray(u_full), lat)
         log.info("heatbath chain member %d -> %s (plaquette %.8f)",
@@ -204,18 +210,28 @@ def setup_gauge(cfg):
             from ..ops.heatbath import thermalize
             from ..ops.layout import gauge_from_device
             lat = Lattice(tuple(cfg.gauge.dims))
-            u0 = jax.device_put(su3.unit_gauge_dev(lat), accel())
-            u_hb = thermalize(jax.random.PRNGKey(cfg.gauge.random_seed),
-                              lat, cfg.gauge.heatbath_beta,
-                              cfg.gauge.heatbath_sweeps, u0=u0)
-            # fetch as SPLIT REALS: complex64 D2H dies UNIMPLEMENTED on
-            # the axon backend (same workaround as bench_mg's gauge
-            # cache); rebuild the complex array on the host
-            re, im = jax.jit(lambda x: (jnp.real(x), jnp.imag(x)))(u_hb)
-            re = jax.device_put(re, cpu)
-            im = jax.device_put(im, cpu)
+            # COMPUTE the cold start on the accelerator (one jitted
+            # constant program): complex64 device_put transfers die
+            # UNIMPLEMENTED on axon, so the unit gauge must be born
+            # there, not shipped
+            with jax.default_device(accel()):
+                u0 = jax.jit(lambda: su3.unit_gauge_dev(lat))()
+                u_hb = thermalize(
+                    jax.random.PRNGKey(cfg.gauge.random_seed), lat,
+                    cfg.gauge.heatbath_beta, cfg.gauge.heatbath_sweeps,
+                    u0=u0)
+                # split INSIDE the accel context (under the CLI's
+                # global CPU default device, a jit on the TPU-resident
+                # complex array would try to SHIP it to the CPU first —
+                # the UNIMPLEMENTED complex transfer), then fetch the
+                # real parts via np.asarray (the only transfer the axon
+                # backend implements)
+                re, im = jax.jit(
+                    lambda x: (jnp.real(x), jnp.imag(x)))(u_hb)
+            re_h, im_h = np.asarray(re), np.asarray(im)
             with jax.default_device(cpu):
-                u_hb = jax.lax.complex(re, im)
+                u_hb = jax.lax.complex(jnp.asarray(re_h),
+                                       jnp.asarray(im_h))
             u_full = gauge_eo_to_full(gauge_from_device(u_hb, lat), lat)
             log.info("heatbath gauge dims=%s beta=%.3f sweeps=%d seed=%d",
                      lat.dims, cfg.gauge.heatbath_beta,
