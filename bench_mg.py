@@ -90,7 +90,15 @@ def _load_or_thermalize(lat, dims, beta, sweeps, cache=True):
             flush=True)
         return u
     t0 = time.perf_counter()
-    u = thermalize(jax.random.PRNGKey(0), lat, beta, sweeps)
+    # Volume-scaled execution chunk: the default 20-sweep program is
+    # ~1 min of device time at 32^3x64 but ~5 min at 48^3x96, back in
+    # the remote worker's hung-execution kill zone (the round-4 crash,
+    # ops/heatbath.MAX_SWEEPS_PER_CALL).  Keep per-execution device
+    # time roughly constant across volumes.
+    ref_v = 32 * 32 * 32 * 64
+    chunk = max(2, min(20, (20 * ref_v) // lat.volume))
+    u = thermalize(jax.random.PRNGKey(0), lat, beta, sweeps,
+                   max_sweeps_per_call=chunk)
     plaq = float(plaquette(u, lat))
     print(json.dumps({
         "metric": "heatbath_plaquette", "value": round(plaq, 6),
@@ -169,6 +177,10 @@ def main():
                     metavar="BETA")
     ap.add_argument("--hb-sweeps", type=int, default=200)
     ap.add_argument("--no-hb-cache", action="store_true")
+    ap.add_argument("--hb-only", action="store_true",
+                    help="thermalize (and disk-cache) the gauge, then "
+                         "exit — decouples the O(10 min) generation at "
+                         "large volumes from the solve runs")
     ap.add_argument("--profile-cycle", action="store_true",
                     help="time V-cycle phases (fine/coarse applies, "
                          "vcycle, GCR cycle) instead of solving")
@@ -186,6 +198,8 @@ def main():
         u = _load_or_thermalize(lat, args.dims, args.heatbath,
                                 args.hb_sweeps,
                                 cache=not args.no_hb_cache)
+        if args.hb_only:
+            return
         u = apply_boundary_phase_dev(u, lat)
     else:
         u = apply_boundary_phase_dev(
