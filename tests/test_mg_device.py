@@ -361,3 +361,26 @@ def test_device_mg_solve_certified_df64():
                 / pk.norm2(b.astype(jnp.float64),
                            dtype=jnp.float64)) ** 0.5
     assert rel <= 2e-10, rel
+
+
+def test_device_mg_bf16_vec_storage_certifies():
+    """vec_dtype='bfloat16' stores the null-vector bank bf16 FROM
+    GENERATION (donated in-place stash, dsolve._stash_vec) — the
+    HBM-bound-volume configuration (48^3x96 arithmetic in BASELINE.md
+    round 5).  The Linv Gram must upcast the mapped column to f32
+    (_LinvMixin.gram_linv), else the bf16*bf16 Gram loses the block
+    orthogonalization.  Certify 1e-10 end-to-end through the bf16
+    transfer + bf16 GCR basis."""
+    u = _gauge()
+    dev = DeviceFineLevel(LAT, pack_gauge(u), KAPPA, MU, backend="xla")
+    params = DeviceMGParams(n_vec=(3,), block=((2, 2, 2, 2),),
+                            setup_iters=25, smoother_iters=3,
+                            coarse_iters=16, restart=6,
+                            vec_dtype="bfloat16", gcr_dtype="bfloat16")
+    mg = DeviceMG(dev, params)
+    assert mg.transfers[0].v_pk.dtype == jnp.bfloat16
+    assert mg.transfers[0].linv.dtype == jnp.float32
+    b = dev.random_field(jax.random.PRNGKey(23))
+    x, rel10, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
+                                         max_refine=25)
+    assert rel10 <= 1e-10, rel10

@@ -452,8 +452,15 @@ class _LinvMixin:
         """Linv from the raw vectors: per (aggregate, chirality) Gram ->
         unrolled complex Cholesky -> triangular inverse (on device).
         The Gram columns run under lax.map (one _wdag instance in the
-        graph instead of n_vec — compile-time discipline, see _wdag)."""
-        cols = jax.lax.map(self._wdag, self.v_pk)
+        graph instead of n_vec — compile-time discipline, see _wdag).
+        The mapped column is upcast to f32: with bf16-STORED null
+        vectors (DeviceMGParams.vec_dtype at HBM-bound volumes) the
+        q*r products inside _wdag would otherwise run bf16*bf16 and
+        the Gram/Cholesky chain loses the orthogonalization; one f32
+        column (vs a full f32 copy of v_pk) keeps the accumulation
+        f32 at one-field peak memory."""
+        cols = jax.lax.map(
+            lambda q: self._wdag(q.astype(jnp.float32)), self.v_pk)
         G = jnp.moveaxis(cols, 0, 3)             # [2, 2chir, n_k, n_l, ...]
         linvs = []
         for c in range(2):
