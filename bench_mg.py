@@ -177,6 +177,13 @@ def main():
                     metavar="BETA")
     ap.add_argument("--hb-sweeps", type=int, default=200)
     ap.add_argument("--no-hb-cache", action="store_true")
+    ap.add_argument("--hb-tile", type=int, default=1,
+                    help="thermalize at dims/F and periodically "
+                         "replicate F^4 (ops/gauge_tools.tile_field_dev)"
+                         ": structured gauge at volumes whose heatbath "
+                         "program exceeds one chip's HBM — plaquette-"
+                         "preserving replica, NOT an independent "
+                         "ensemble member (48^3x96 note, BASELINE.md)")
     ap.add_argument("--hb-only", action="store_true",
                     help="thermalize (and disk-cache) the gauge, then "
                          "exit — decouples the O(10 min) generation at "
@@ -195,9 +202,21 @@ def main():
 
     lat = Lattice(tuple(args.dims))
     if args.heatbath is not None:
-        u = _load_or_thermalize(lat, args.dims, args.heatbath,
+        f = args.hb_tile
+        hdims = [d // f for d in args.dims]
+        assert [d * f for d in hdims] == list(args.dims), \
+            f"--hb-tile {f} must divide every extent in {args.dims}"
+        hlat = Lattice(tuple(hdims)) if f > 1 else lat
+        u = _load_or_thermalize(hlat, hdims, args.heatbath,
                                 args.hb_sweeps,
                                 cache=not args.no_hb_cache)
+        if f > 1:
+            from tpuqcd.ops.gauge_tools import tile_field_dev
+            u = tile_field_dev(u, hlat, (f, f, f, f))
+            print(json.dumps({"metric": "heatbath_tiled",
+                              "from": hdims, "factor": f,
+                              "note": "periodic replica, plaquette-"
+                                      "preserving"}), flush=True)
         if args.hb_only:
             return
         u = apply_boundary_phase_dev(u, lat)

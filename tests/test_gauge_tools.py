@@ -133,3 +133,36 @@ def test_config_rejects_bad_gauge_fix(tmp_path):
     cfgp.write_text("gauge: {dims: [4, 4, 4, 8], fix: axial}\n")
     with pytest.raises(ConfigError, match="gauge.fix"):
         load_config(str(cfgp))
+
+
+def test_tile_field_dev_plaquette_and_operator():
+    """tile_field_dev: exact periodic replication in the eo-packed
+    device layout.  (1) the tiled gauge's plaquette equals the
+    original's; (2) replication commutes with the (phase-free,
+    periodic-BC) twisted-mass operator: D_big(tile psi) == tile(D_small
+    psi) — the identity that certifies the parity/packing arithmetic
+    site-exactly."""
+    import jax.numpy as jnp
+
+    from tpuqcd.mg.device import DeviceFineLevel
+    from tpuqcd.ops.gauge_tools import tile_field_dev
+    from tpuqcd.utils.packed import pack_gauge
+
+    lat_s = Lattice((4, 4, 4, 8))
+    lat_b = Lattice((8, 8, 8, 16))
+    u_s = su3.random_gauge_dev(jax.random.PRNGKey(5), lat_s)
+    u_b = tile_field_dev(u_s, lat_s)
+    p_s = float(jnp.real(plaquette(u_s, lat_s)))
+    p_b = float(jnp.real(plaquette(u_b, lat_b)))
+    assert abs(p_s - p_b) < 1e-6, (p_s, p_b)
+
+    lv_s = DeviceFineLevel(lat_s, pack_gauge(u_s), 0.15, 0.01,
+                           backend="xla")
+    lv_b = DeviceFineLevel(lat_b, pack_gauge(u_b), 0.15, 0.01,
+                           backend="xla")
+    psi = lv_s.random_field(jax.random.PRNGKey(6))
+    psi_b = tile_field_dev(psi, lat_s)
+    want = tile_field_dev(jax.jit(lv_s.apply)(psi), lat_s)
+    got = jax.jit(lv_b.apply)(psi_b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

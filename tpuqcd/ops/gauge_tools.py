@@ -55,6 +55,41 @@ def spatial_plaquette(u_dev: jax.Array, lat: Lattice) -> jax.Array:
     return total / (3.0 * 3.0 * lat.volume)
 
 
+def tile_field_dev(x: jax.Array, lat_small: Lattice,
+                   factors=(2, 2, 2, 2)) -> jax.Array:
+    """Periodically replicate a device-layout field [..., T, Z, S]
+    (gauge [4, 2, 3, 3, T, Z, S] or packed/complex spinor alike) by
+    integer factors (ft, fz, fy, fx) onto the enlarged lattice.
+
+    This is exact periodic replication: the big field at site
+    (t + i*T, z + j*Z, y + k*Y, x + l*X) equals the small field at
+    (t, z, y, x).  Because every small extent is even, the replication
+    offsets are even and site parities are preserved, so the eo-packed
+    device layout tiles axis-by-axis: T and Z directly, and the packed
+    S = Y*Xh axis as a (Y, Xh) block tile (for x = x0 + X*l the packed
+    half-index is x0//2 + (X//2)*l — a plain repeat along Xh).
+
+    Purpose: structured benchmark gauges at volumes whose in-place
+    heatbath program exceeds one chip's HBM (the 48^3x96 sweep program
+    OOMs on a 16 GiB v5e, BASELINE.md round 5).  A tiled thermalized
+    gauge has the SAME plaquette and the same local fluctuation
+    structure as its generator — but it is a periodic replica, not an
+    independent ensemble member: long-distance observables and the
+    Dirac spectrum inherit the small lattice's (folded, degenerate)
+    low modes.  Label results accordingly.
+    """
+    assert lat_small.Lx % 2 == 0 and lat_small.Ly % 2 == 0
+    assert lat_small.Lz % 2 == 0 and lat_small.Lt % 2 == 0
+    ft, fz, fy, fx = factors
+    T, Z = lat_small.Lt, lat_small.Lz
+    Y, Xh = lat_small.Ly, lat_small.Lx // 2
+    assert x.shape[-3:] == (T, Z, Y * Xh), (x.shape, (T, Z, Y * Xh))
+    lead = x.shape[:-3]
+    x4 = x.reshape(lead + (T, Z, Y, Xh))
+    x4 = jnp.tile(x4, (1,) * len(lead) + (ft, fz, fy, fx))
+    return x4.reshape(lead + (T * ft, Z * fz, Y * fy * Xh * fx))
+
+
 def _staple_sum(u_dev: jax.Array, mu: int, p: int, dirs, lat: Lattice):
     """Sum of staples around link (x, mu) at parity-p sites over nu in dirs."""
     acc = None
