@@ -384,3 +384,14 @@ def test_device_mg_bf16_vec_storage_certifies():
     x, rel10, iters = mg.solve_certified(b, tol=1e-10, inner_tol=1e-4,
                                          max_refine=25)
     assert rel10 <= 1e-10, rel10
+
+
+def test_galerkin_probing_per_leg_matches_fused():
+    """The HBM-bounded per-leg probing (fused_legs=False — the auto
+    selection at 48^3x96 where the fused 8-leg stack OOMs) builds the
+    SAME Galerkin links as the fused multi-leg kernel pass."""
+    dev, tr = _fine_and_transfer()
+    cf = build_coarse_device(dev, tr, fused_legs=True)
+    cp = build_coarse_device(dev, tr, fused_legs=False)
+    np.testing.assert_allclose(np.asarray(cp.links), np.asarray(cf.links),
+                               atol=1e-5, rtol=1e-5)

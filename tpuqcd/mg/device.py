@@ -705,7 +705,7 @@ def _coarse_colors(dims_c):
     return col.astype(np.int32), n_col
 
 
-def _probe_color(level, transfer, ek):
+def _probe_color(level, transfer, ek, fused_legs=True):
     """ek one-hot [n_c] -> (fwd[4], bwd[4], full) coarse columns.
 
     Global distance-1 coloring: one masked source feeds ALL 8 hop legs
@@ -733,16 +733,22 @@ def _probe_color(level, transfer, ek):
     base = base.at[0].set(ek[:, None])
     hop_all = getattr(level, "apply_hop_all", None)
 
-    def legs_of(vf):
-        if hop_all is not None:
-            return hop_all(vf)
-        return jnp.stack([level.apply_hop(vf, m, s)
+    def legs_restricted(vf):
+        # Fused: ONE multi-leg kernel pass emits all 8 hop legs — but
+        # the stacked legs are 8 live fine fields (8.1 GiB at 48^3x96,
+        # the measured probing OOM, BASELINE.md round 5).  Per-leg:
+        # 8 hop+restrict passes with ~2 fine fields peak — slower
+        # (gauge re-read per leg) but HBM-bounded; build_coarse_device
+        # auto-selects by fine-field footprint.
+        if fused_legs and hop_all is not None:
+            return jax.vmap(transfer.restrict)(hop_all(vf))
+        return jnp.stack([transfer.restrict(level.apply_hop(vf, m, s))
                           for (m, s) in _LEG_ORDER])
 
     def body(c, acc):
         src = base * (colors == c).astype(jnp.float32)
         vf = transfer.prolong(src)
-        w = jax.vmap(transfer.restrict)(legs_of(vf))
+        w = legs_restricted(vf)
         return acc + w * (colors != c).astype(jnp.float32)
 
     acc = jax.lax.fori_loop(
@@ -762,14 +768,32 @@ def _probe_color(level, transfer, ek):
 # probe a CHUNK of coarse colors in one jitted program.  Measured on the
 # v5e (v1 per-mu probing): chunk=1 wins — the vmapped graph compiles and
 # runs ~4x slower — so batching stays opt-in.
-_probe_colors = jax.jit(jax.vmap(_probe_color, in_axes=(None, None, 0)))
+_probe_colors = jax.jit(
+    jax.vmap(_probe_color, in_axes=(None, None, 0, None)),
+    static_argnums=3)
 
 
-def build_coarse_device(level, transfer,
-                        probe_chunk: int = 1) -> DeviceCoarseLevel:
+def _fine_field_bytes(level) -> int:
+    """f32 bytes of one solver field on `level` (both parities)."""
+    if hasattr(level, "lat"):
+        return 96 * level.lat.volume      # 2ri*2par*4spin*3col * V/2 * 4B
+    import numpy as _np
+    return int(2 * level.n * _np.prod(level.dims) * 4)
+
+
+def build_coarse_device(level, transfer, probe_chunk: int = 1,
+                        fused_legs: bool | None = None
+                        ) -> DeviceCoarseLevel:
     """A_c = R A P as explicit nearest-neighbor links, by colored probing
     (all 17 probes of `probe_chunk` coarse colors per jitted call; see
-    the host mg/coarse.py for the algorithm derivation)."""
+    the host mg/coarse.py for the algorithm derivation).
+
+    fused_legs=None auto-selects the probing leg strategy: the fused
+    8-leg kernel pass when the stacked legs fit comfortably (< 6 GiB),
+    the per-leg hop+restrict sequence at HBM-bound volumes (48^3x96:
+    fused probing measured OOM at 21 GiB, BASELINE.md round 5)."""
+    if fused_legs is None:
+        fused_legs = 8 * _fine_field_bytes(level) < 6 * 2**30
     n_c = transfer.n_c
     chunk = probe_chunk
     while n_c % chunk:
@@ -778,7 +802,8 @@ def build_coarse_device(level, transfer,
     fwd_cols, bwd_cols, diag_cols = [], [], []
     for k0 in range(0, n_c, chunk):
         f, b, d = _probe_colors(level, transfer,
-                                jnp.asarray(eye[k0:k0 + chunk]))
+                                jnp.asarray(eye[k0:k0 + chunk]),
+                                fused_legs)
         # batch axis 0 = color k
         fwd_cols.extend(f[i] for i in range(chunk))
         bwd_cols.extend(b[i] for i in range(chunk))
