@@ -224,13 +224,15 @@ def main():
         u = apply_boundary_phase_dev(
             su3.random_gauge_dev(jax.random.PRNGKey(0), lat), lat)
     u_pk = jax.block_until_ready(pack_gauge(u))
-    b = random_spinor_dev(jax.random.PRNGKey(1), lat)  # both parities
-    b_pk = jax.block_until_ready(
-        jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])]))
-    del u, b  # free the complex copies — HBM is the budget here
+    del u  # free the complex copies — HBM is the budget here
+
+    def make_source():
+        b = random_spinor_dev(jax.random.PRNGKey(1), lat)
+        return jax.block_until_ready(
+            jnp.stack([pack_spinor(b[0]), pack_spinor(b[1])]))
 
     if args.cg_only:
-        _run_cg(args, lat, u_pk, b_pk, t_mg_solve=None)
+        _run_cg(args, lat, u_pk, make_source(), t_mg_solve=None)
         return
 
     import dataclasses as _dc
@@ -265,12 +267,25 @@ def main():
     t0 = time.perf_counter()
     mg = setup_multigrid(u_pk, lat, kappa=args.kappa, mu=args.mu,
                          params=params, backend=args.backend, verbose=True)
+    # force completion of every async setup dispatch HERE so a runtime
+    # OOM inside setup surfaces at this line, not at the first solve
+    # fetch (async-error localization; axon defers errors to fetches)
+    jax.block_until_ready(mg.state)
     t_setup = time.perf_counter() - t0
     print(json.dumps({"metric": "mg_setup_seconds", "value":
                       round(t_setup, 2), "unit": "s",
                       **_compile_stats(n0),
                       "detail": {k: round(v, 2) for k, v in
                                  mg.setup_seconds.items()}}), flush=True)
+    try:
+        live = sum(int(a.nbytes) for a in jax.live_arrays()
+                   if list(a.devices())[0].platform != "cpu")
+        print(json.dumps({"metric": "hbm_live_after_setup",
+                          "value": round(live / 2**30, 2),
+                          "unit": "GiB"}), flush=True)
+    except Exception:
+        pass
+    b_pk = make_source()  # AFTER setup: setup peak is the HBM budget
 
     if args.profile_cycle:
         _profile_cycle(mg, b_pk)

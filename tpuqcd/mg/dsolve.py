@@ -559,7 +559,8 @@ class DeviceMG:
         rel = 1.0
         for it in range(max_refine):
             t0 = time.perf_counter()
-            r_df, rsq = op.residual_staged(u_pk, x_df, b_df)
+            r_df, rsq = op.residual_staged(u_pk, x_df, b_df,
+                                           legs_per_call=1)
             rel = float(rsq) ** 0.5
             t_res = time.perf_counter() - t0
             if rel <= tol:
@@ -576,7 +577,8 @@ class DeviceMG:
                       f"(df64 residual {t_res:.2f}s, inner {res.iters} "
                       f"iters {time.perf_counter() - t0:.2f}s)")
         else:
-            _, rsq = op.residual_staged(u_pk, x_df, b_df)
+            _, rsq = op.residual_staged(u_pk, x_df, b_df,
+                                        legs_per_call=1)
             rel = float(rsq) ** 0.5
         x = jax.jit(df.to_f64)(x_df) * bnorm
         return x, rel, total

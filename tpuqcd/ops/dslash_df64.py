@@ -384,8 +384,11 @@ def _leg_jit(u_pk, psi_df, *, parity, lat, dirs, dagger):
                             dirs=dirs)
 
 
-@jax.jit
+@_partial(jax.jit, donate_argnums=0)
 def _add_df_jit(a, b):
+    # a (the staged-leg accumulator) is DONATED: at HBM-bound volumes
+    # the certified-solve peak is live-set + one leg + this add; without
+    # donation the add holds acc + t + out = 3 df64 fields.
     return df.add(a, b)
 
 
@@ -401,8 +404,9 @@ def _site_finish_jit(x_df, t, kappa, mu, flavor):
                   df.mul_s(t, k2))
 
 
-@jax.jit
+@_partial(jax.jit, donate_argnums=1)
 def _sub_norm_jit(b_df, mx_df):
+    # mx_df (the staged apply result) is DONATED into the residual
     r = df.sub(b_df, mx_df)
     return r, df.norm2_f64(r)
 
