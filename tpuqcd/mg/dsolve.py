@@ -471,8 +471,13 @@ class DeviceMG:
         if inner_tol is None:
             inner_tol = self.params.inner_tol
         if hp == "df64":
+            # hand the source over WITHOUT keeping a frame reference:
+            # the df64 loop frees it once the normalized df64 system is
+            # formed (one fine field of HBM back at 48^3x96)
+            bref = [b]
+            del b
             return self._solve_certified_df64(
-                b, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+                bref, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
                 max_refine=max_refine, verbose=verbose)
         fine = self.levels[0]
         # f32 gauge/clover entries promote EXACTLY into the f64 products,
@@ -527,7 +532,7 @@ class DeviceMG:
             rel = (float(rsq) / max(bsq, 1e-300)) ** 0.5
         return x * bnorm, rel, total
 
-    def _solve_certified_df64(self, b, *, tol, inner_tol, maxiter,
+    def _solve_certified_df64(self, bref, *, tol, inner_tol, maxiter,
                               max_refine, verbose):
         """df64 twin of solve_certified: x as an (hi, lo) f32 pair, true
         residuals via the leg-staged FullTMOperatorDF64 — no f64 field
@@ -545,7 +550,7 @@ class DeviceMG:
         op = FullTMOperatorDF64(fine.lat, fine.kappa, fine.mu,
                                 fine.flavor)
         u_pk = fine.u_pk
-        b32 = b.astype(jnp.float32)
+        b32 = bref.pop().astype(jnp.float32)
         bsq0 = float(pk.norm2(b32, dtype=jnp.float64))
         if bsq0 == 0.0:
             return b32.astype(jnp.float64), 0.0, 0
@@ -555,6 +560,7 @@ class DeviceMG:
         b_df = jax.jit(lambda bb: df.mul_s(
             (bb, jnp.zeros_like(bb)), df.scalar(1.0 / bnorm)))(b32)
         x_df = (jnp.zeros_like(b32), jnp.zeros_like(b32))
+        del b32  # the df64 pair is the certified system from here on
         total = 0
         rel = 1.0
         for it in range(max_refine):
@@ -569,7 +575,10 @@ class DeviceMG:
                           f"({total} inner iters, df64)")
                 break
             t0 = time.perf_counter()
-            res = self.solve(r_df[0], tol=inner_tol, maxiter=maxiter)
+            r_hi = r_df[0]
+            del r_df  # drop the lo half before the inner GCR program
+            res = self.solve(r_hi, tol=inner_tol, maxiter=maxiter)
+            del r_hi
             total += res.iters
             x_df = jax.jit(df.add_f)(x_df, res.x)
             if verbose:

@@ -353,13 +353,22 @@ class FullTMOperatorDF64:
         return ((hi_a[:, 0], lo_a[:, 0]), (hi_a[:, 1], lo_a[:, 1]))
 
     def apply_staged(self, u_pk, v_df, legs_per_call: int = 2):
+        # Liveness-ordered for HBM-bound volumes: finish each parity's
+        # site term (donating the hop result into it) before starting
+        # the other parity's hops, and free parity slices as soon as
+        # their last consumer has dispatched — at 48^3x96 the naive
+        # ordering held both hop results + both slices simultaneously
+        # (measured OOM, BASELINE.md round 5).
         ve, vo = self._split(v_df)
         de = _dslash_df_staged(u_pk, vo, 1, self.lat, False,
                                legs_per_call)     # even result
+        oe = _full_site_jit(ve, de, self.kappa, self.mu, self.flavor)
+        del de                                    # donated into oe
         do = _dslash_df_staged(u_pk, ve, 0, self.lat, False,
                                legs_per_call)     # odd result
-        oe = _full_site_jit(ve, de, self.kappa, self.mu, self.flavor)
+        del ve
         oo = _full_site_jit(vo, do, self.kappa, self.mu, self.flavor)
+        del vo, do
         return (jnp.stack([oe[0], oo[0]], axis=1),
                 jnp.stack([oe[1], oo[1]], axis=1))
 
@@ -371,9 +380,10 @@ class FullTMOperatorDF64:
 from functools import partial as _partial  # noqa: E402
 
 
-@_partial(jax.jit, static_argnames=("kappa", "mu", "flavor"))
+@_partial(jax.jit, static_argnames=("kappa", "mu", "flavor"),
+          donate_argnums=1)
 def _full_site_jit(v_df, d_df, kappa, mu, flavor):
-    """twist(v) - kappa * d in df64 (one parity)."""
+    """twist(v) - kappa * d in df64 (one parity); d_df donated."""
     return df.sub(twist_apply_df(v_df, kappa, mu, flavor),
                   df.mul_s(d_df, df.scalar(kappa)))
 

@@ -453,9 +453,12 @@ def solve_tm_mg(mg, b_pk: jax.Array, *, tol: float = 1e-10,
     hp="df64" certifies with the on-chip double-single operator (for
     volumes where the emulated-f64 fine operator exceeds HBM).
     """
-    b_mg = jnp.swapaxes(b_pk.astype(jnp.float32), 0, 1)
+    # pass the swapped source WITHOUT a local binding: at HBM-bound
+    # volumes every extra live fine field matters, and solve_certified
+    # frees its own reference once the hp system is formed
     x, relres, iters = mg.solve_certified(
-        b_mg, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+        jnp.swapaxes(b_pk.astype(jnp.float32), 0, 1),
+        tol=tol, inner_tol=inner_tol, maxiter=maxiter,
         verbose=verbose, hp=hp)
     return SolveResult(x=jnp.swapaxes(x, 0, 1), relres=relres,
                        iters=iters)
