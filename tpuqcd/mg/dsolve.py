@@ -554,20 +554,23 @@ class DeviceMG:
         bsq0 = float(pk.norm2(b32, dtype=jnp.float64))
         if bsq0 == 0.0:
             return b32.astype(jnp.float64), 0.0, 0
-        bnorm = bsq0 ** 0.5
-        # normalize INSIDE df64 so the rescale costs no f32 rounding of
-        # the certified system (see solve_certified's normalization note)
-        b_df = jax.jit(lambda bb: df.mul_s(
-            (bb, jnp.zeros_like(bb)), df.scalar(1.0 / bnorm)))(b32)
+        import math as _math
+        # POWER-OF-2 normalization: 1/s is exact in f32, so the scaled
+        # source's df64 lo is IDENTICALLY zero and b travels as one f32
+        # field (residual_staged_hi) — the normalized |bhat|^2 lands in
+        # [1/2, 2] and divides out of the relative residual below.
+        s = 2.0 ** round(_math.log2(bsq0) / 2.0)
+        bhat_sq = bsq0 / (s * s)
+        b_hi = jax.jit(lambda bb: bb * jnp.float32(1.0 / s))(b32)
         x_df = (jnp.zeros_like(b32), jnp.zeros_like(b32))
-        del b32  # the df64 pair is the certified system from here on
+        del b32  # b_hi is the certified system from here on
         total = 0
         rel = 1.0
         for it in range(max_refine):
             t0 = time.perf_counter()
-            r_df, rsq = op.residual_staged(u_pk, x_df, b_df,
-                                           legs_per_call=1)
-            rel = float(rsq) ** 0.5
+            r_df, rsq = op.residual_staged_hi(u_pk, x_df, b_hi,
+                                              legs_per_call=1)
+            rel = (float(rsq) / bhat_sq) ** 0.5
             t_res = time.perf_counter() - t0
             if rel <= tol:
                 if verbose:
@@ -586,8 +589,8 @@ class DeviceMG:
                       f"(df64 residual {t_res:.2f}s, inner {res.iters} "
                       f"iters {time.perf_counter() - t0:.2f}s)")
         else:
-            _, rsq = op.residual_staged(u_pk, x_df, b_df,
-                                        legs_per_call=1)
-            rel = float(rsq) ** 0.5
-        x = jax.jit(df.to_f64)(x_df) * bnorm
+            _, rsq = op.residual_staged_hi(u_pk, x_df, b_hi,
+                                           legs_per_call=1)
+            rel = (float(rsq) / bhat_sq) ** 0.5
+        x = jax.jit(df.to_f64)(x_df) * s
         return x, rel, total

@@ -353,28 +353,36 @@ class FullTMOperatorDF64:
         return ((hi_a[:, 0], lo_a[:, 0]), (hi_a[:, 1], lo_a[:, 1]))
 
     def apply_staged(self, u_pk, v_df, legs_per_call: int = 2):
-        # Liveness-ordered for HBM-bound volumes: finish each parity's
-        # site term (donating the hop result into it) before starting
-        # the other parity's hops, and free parity slices as soon as
-        # their last consumer has dispatched — at 48^3x96 the naive
-        # ordering held both hop results + both slices simultaneously
-        # (measured OOM, BASELINE.md round 5).
-        ve, vo = self._split(v_df)
-        de = _dslash_df_staged(u_pk, vo, 1, self.lat, False,
-                               legs_per_call)     # even result
-        oe = _full_site_jit(ve, de, self.kappa, self.mu, self.flavor)
-        del de                                    # donated into oe
-        do = _dslash_df_staged(u_pk, ve, 0, self.lat, False,
-                               legs_per_call)     # odd result
-        del ve
-        oo = _full_site_jit(vo, do, self.kappa, self.mu, self.flavor)
-        del vo, do
+        # Liveness-ordered for HBM-bound volumes: the parity slices of
+        # v_df happen INSIDE each leg program (no materialized
+        # one-parity copies in the persistent set), each parity's site
+        # term finishes (donating the hop result into it) before the
+        # other parity's hops start — at 48^3x96 the naive ordering
+        # held both hop results + both slices simultaneously (measured
+        # OOM, BASELINE.md round 5).
+        kmf = dict(kappa=self.kappa, mu=self.mu, flavor=self.flavor)
+        de = _dslash_df_staged_full(u_pk, v_df, 1, self.lat,
+                                    legs_per_call)    # even result
+        oe = _full_site_par_jit(v_df, de, par=0, **kmf)
+        del de                                        # donated into oe
+        do = _dslash_df_staged_full(u_pk, v_df, 0, self.lat,
+                                    legs_per_call)    # odd result
+        oo = _full_site_par_jit(v_df, do, par=1, **kmf)
+        del do
         return (jnp.stack([oe[0], oo[0]], axis=1),
                 jnp.stack([oe[1], oo[1]], axis=1))
 
     def residual_staged(self, u_pk, x_df, b_df, legs_per_call: int = 2):
         mx = self.apply_staged(u_pk, x_df, legs_per_call=legs_per_call)
         return _sub_norm_jit(b_df, mx)
+
+    def residual_staged_hi(self, u_pk, x_df, b_hi,
+                           legs_per_call: int = 2):
+        """Residual against a source whose df64 lo is EXACTLY zero
+        (power-of-2 normalization): b travels as ONE f32 field and the
+        zero lo is a program constant — one fine field of HBM back."""
+        mx = self.apply_staged(u_pk, x_df, legs_per_call=legs_per_call)
+        return _sub_norm_hi_jit(b_hi, mx)
 
 
 from functools import partial as _partial  # noqa: E402
@@ -386,6 +394,42 @@ def _full_site_jit(v_df, d_df, kappa, mu, flavor):
     """twist(v) - kappa * d in df64 (one parity); d_df donated."""
     return df.sub(twist_apply_df(v_df, kappa, mu, flavor),
                   df.mul_s(d_df, df.scalar(kappa)))
+
+
+@_partial(jax.jit, static_argnames=("par", "kappa", "mu", "flavor"),
+          donate_argnums=1)
+def _full_site_par_jit(v_df, d_df, *, par, kappa, mu, flavor):
+    """twist(v[par]) - kappa * d with the parity slice INSIDE the
+    program (v_df both-parity pair); d_df donated."""
+    v = (v_df[0][:, par], v_df[1][:, par])
+    return df.sub(twist_apply_df(v, kappa, mu, flavor),
+                  df.mul_s(d_df, df.scalar(kappa)))
+
+
+@_partial(jax.jit, static_argnames=("parity", "lat", "dirs"))
+def _leg_par_jit(u_pk, v_df, *, parity, lat, dirs):
+    """One staged leg of the FULL operator: source-parity slice of the
+    both-parity pair inside the program (no persistent copy)."""
+    psi = (v_df[0][:, parity], v_df[1][:, parity])
+    return dslash_eo_dev_df(u_pk, psi, parity, lat, dagger=False,
+                            dirs=dirs)
+
+
+def _dslash_df_staged_full(u_pk, v_df, parity, lat, legs_per_call):
+    all_legs = tuple((mu, s) for mu in range(4) for s in (+1, -1))
+    acc = None
+    for i in range(0, 8, legs_per_call):
+        t = _leg_par_jit(u_pk, v_df, parity=parity, lat=lat,
+                         dirs=all_legs[i:i + legs_per_call])
+        acc = t if acc is None else _add_df_jit(acc, t)
+    return acc
+
+
+@_partial(jax.jit, donate_argnums=1)
+def _sub_norm_hi_jit(b_hi, mx_df):
+    # the zero lo of b materializes only as a fused program constant
+    r = df.sub((b_hi, jnp.zeros_like(b_hi)), mx_df)
+    return r, df.norm2_f64(r)
 
 
 @_partial(jax.jit, static_argnames=("parity", "lat", "dirs", "dagger"))
